@@ -1,0 +1,290 @@
+"""String-similarity kernels, pure Python + Arrow-vectorized pandas UDFs.
+
+Semantics contract (recall parity with the reference):
+
+- ``jaro_winkler(s1, s2, long_tolerance=True)`` reproduces
+  ``matchr.JaroWinkler(s1, s2, true)`` as called by the reference
+  (/root/reference/fuzzy_matcher_core/distance.go:22). matchr is a port
+  of the public-domain Census strcmp95 algorithm (Winkler 1990); we
+  implement strcmp95 directly: flag-based common chars within
+  ``max(len)/2 - 1``, transposition count, Winkler prefix boost (<=4
+  non-digit chars, only when base > 0.7), and the long-string
+  tolerance adjustment. Golden values pinned by
+  tests/test_kernels.py from
+  /root/reference/tests/test_data/distance_tests.json.
+
+- ``levenshtein_sim`` = ``1 - dist/max(len)``, ``1.0`` when both empty
+  (distance.go:24-33).
+
+- ``similarity(_, _, "default")`` = constant ``1.0`` (distance.go:35-36);
+  exact fields rely on exact blocking having already enforced equality.
+
+- ``trie_edit_distance(query, stored, ocr)`` re-expresses the trie
+  walk's edit accounting (recurse.go:67-175, breadth_first_search.go:
+  25-101, utils.go:15-48) as a set-oriented distance: standard unit-cost
+  edit DP, with a *free suffix on either side* — the trie emits a
+  candidate at any end-of-string node regardless of remaining query
+  chars, and completions beyond the query end cost nothing — plus
+  cost-1 multi-char OCR confusions (recurse.go:34-41) when enabled.
+  This is deliberately generous (never exceeds the trie's count for
+  golden cases); final match decisions are made by the verification
+  thresholds, exactly as in the reference.
+
+These kernels are used on the *name/field* path (short strings). The
+document near-dup path verifies with MinHash signature agreement /
+Jaccard, entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# OCR confusion tables — mirror /root/reference/fuzzy_matcher_core/recurse.go
+# ---------------------------------------------------------------------------
+
+# single-char: query char -> plausible stored chars (recurse.go:7-32)
+OCR_SINGLE: dict[str, tuple[str, ...]] = {
+    "0": ("o", "d", "q"),
+    "1": ("l", "i"),
+    "2": ("z", "s"),
+    "3": ("e", "8", "b"),
+    "4": ("a", "h"),
+    "5": ("s",),
+    "6": ("b", "g", "G"),
+    "7": ("t", "y"),
+    "8": ("b", "3", "B"),
+    "9": ("g", "q"),
+    "o": ("0", "a"),
+    "i": ("1", "l"),
+    "l": ("1", "i"),
+    "b": ("8", "3", "6"),
+    "g": ("6", "9"),
+    "z": ("2",),
+    "c": ("e", "o"),
+    "s": ("5",),
+    "n": ("m", "r"),
+    "a": ("o",),
+    "e": ("c",),
+    "r": ("n",),
+    "v": ("u",),
+    "u": ("v",),
+}
+
+# multi-char: query substring -> stored substrings, each costs 1 edit
+# (recurse.go:34-41)
+OCR_MULTI: dict[str, tuple[str, ...]] = {
+    "m": ("rn", "nn"),
+    "cl": ("d",),
+    "rn": ("m",),
+    "nn": ("m",),
+    "w": ("vv",),
+    "d": ("cl",),
+}
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (strcmp95 / matchr-compatible)
+# ---------------------------------------------------------------------------
+
+def jaro_winkler(s1: str, s2: str, long_tolerance: bool = True) -> float:
+    """strcmp95-compatible Jaro-Winkler; 0.0 if either side is empty
+    (golden: distance_tests.json 'Empty strings')."""
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+
+    max_len = max(len1, len2)
+    search_range = max(max_len // 2 - 1, 0)
+
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+
+    common = 0
+    for i in range(len1):
+        lo = i - search_range if i > search_range else 0
+        hi = min(i + search_range, len2 - 1)
+        c = s1[i]
+        for j in range(lo, hi + 1):
+            if not flags2[j] and s2[j] == c:
+                flags1[i] = True
+                flags2[j] = True
+                common += 1
+                break
+
+    if common == 0:
+        return 0.0
+
+    # transpositions
+    k = 0
+    trans = 0
+    for i in range(len1):
+        if flags1[i]:
+            j = k
+            while j < len2:
+                if flags2[j]:
+                    k = j + 1
+                    break
+                j += 1
+            if s1[i] != s2[j]:
+                trans += 1
+    trans //= 2
+
+    weight = (
+        common / len1 + common / len2 + (common - trans) / common
+    ) / 3.0
+
+    if weight > 0.7:
+        # Winkler prefix boost: up to first 4 agreeing non-digit chars
+        limit = min(max_len, 4, len1, len2)
+        i = 0
+        while i < limit and s1[i] == s2[i] and not s1[i].isdigit():
+            i += 1
+        if i:
+            weight += i * 0.1 * (1.0 - weight)
+
+        # long-string tolerance (strcmp95 optional adjustment)
+        if (
+            long_tolerance
+            and max_len > 4
+            and common > i + 1
+            and 2 * common >= max_len + i
+            and not s1[0].isdigit()
+        ):
+            weight += (1.0 - weight) * (
+                (common - i - 1) / (len1 + len2 - i * 2 + 2)
+            )
+
+    return weight
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Unit-cost edit distance (two-row DP)."""
+    if s1 == s2:
+        return 0
+    if not s1:
+        return len(s2)
+    if not s2:
+        return len(s1)
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1):
+        cur = [i + 1]
+        for j, c2 in enumerate(s2):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+def levenshtein_sim(s1: str, s2: str) -> float:
+    """1 - dist/max(len); 1.0 on two empties (distance.go:24-33)."""
+    max_len = max(len(s1), len(s2))
+    if max_len == 0:
+        return 1.0
+    return 1.0 - levenshtein(s1, s2) / max_len
+
+
+def similarity(s1: str, s2: str, method: str) -> float:
+    """CalculateSimilarity dispatcher (distance.go:19-38)."""
+    if method == "jaro":
+        return jaro_winkler(s1, s2, long_tolerance=True)
+    if method == "levenshtein":
+        return levenshtein_sim(s1, s2)
+    return 1.0  # "default" and anything else
+
+
+# ---------------------------------------------------------------------------
+# Trie-style edit distance (candidate-generation accounting)
+# ---------------------------------------------------------------------------
+
+def trie_edit_distance(query: str, stored: str, ocr: bool = False) -> int:
+    """Edit count between a probe value and a stored value under the
+    reference trie-walk semantics (see module docstring).
+
+    DP over (i = query consumed, j = stored consumed); transitions:
+    match 0, substitute/insert/delete 1, multi-char OCR confusion 1
+    (when ``ocr``). Result = min over states where either string is
+    fully consumed (free suffix on the other side).
+    """
+    n, m = len(query), len(stored)
+    if n == 0:
+        return 0  # completion of the empty query is free
+    if m == 0:
+        return n
+    INF = n + m + 1
+    dp = [[INF] * (m + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            d = dp[i][j]
+            if d >= INF:
+                continue
+            if i < n and j < m:
+                cost = 0 if query[i] == stored[j] else 1
+                if d + cost < dp[i + 1][j + 1]:
+                    dp[i + 1][j + 1] = d + cost
+            if i < n and d + 1 < dp[i + 1][j]:
+                dp[i + 1][j] = d + 1  # skip query char (recurse.go 4.1)
+            if j < m and d + 1 < dp[i][j + 1]:
+                dp[i][j + 1] = d + 1  # consume stored char (BFS mismatch)
+            if ocr:
+                for q_sub, reps in OCR_MULTI.items():
+                    if query.startswith(q_sub, i):
+                        for rep in reps:
+                            if stored.startswith(rep, j):
+                                ni, nj = i + len(q_sub), j + len(rep)
+                                if d + 1 < dp[ni][nj]:
+                                    dp[ni][nj] = d + 1
+    # free suffix on either side: emitted at end-of-string nodes with
+    # query remainder free, or completed beyond query end for free
+    best = min(min(dp[i][m] for i in range(n + 1)), min(dp[n][j] for j in range(m + 1)))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF wrappers (Arrow-batched; no row-at-a-time Python UDFs)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def levenshtein_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [levenshtein_sim(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+def similarity_udf(method: str) -> Callable[..., Column]:
+    """Factory: a pandas UDF computing ``similarity(a, b, method)``.
+
+    ``default`` fields short-circuit to a literal 1.0 column — no UDF at
+    all (exact blocking already enforced equality, distance.go:35-36).
+    """
+    if method == "jaro":
+        return lambda a, b: jaro_winkler_udf(a, b)
+    if method == "levenshtein":
+        return lambda a, b: levenshtein_sim_udf(a, b)
+    return lambda a, b: F.lit(1.0)
+
+
+def trie_edits_udf(ocr: bool) -> Callable[..., Column]:
+    """Factory: pandas UDF for the trie-style edit distance."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            yield pd.Series(
+                [trie_edit_distance(x or "", y or "", ocr) for x, y in zip(a, b)],
+                dtype="int32",
+            )
+
+    return _udf

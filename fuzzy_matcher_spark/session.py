@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the same settings are what we would
+submit to a multi-executor cluster via ``spark-submit --py-files``
+(see scripts/submit.sh). Key choices:
+
+- AQE on (runtime coalescing + skew-join splitting) — LSH band
+  self-joins over web text have pathological hot keys, we combine AQE
+  with explicit salting/bucket-capping (operators/dedup_minhash.py).
+- Arrow enabled for pandas-UDF kernels.
+- shuffle partitions default to cores locally; on a real cluster this
+  is raised to ~2-3x total cores (AQE coalesces down).
+- UTC session timezone so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fuzzy_matcher_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    n_threads = _master_threads(master, int(cpus))
+    shuffle = shuffle_partitions or max(2 * n_threads, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def _master_threads(master: str, default: int) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or default
+        try:
+            return int(inner)
+        except ValueError:
+            return default
+    return default
