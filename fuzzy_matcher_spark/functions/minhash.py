@@ -1,0 +1,102 @@
+"""MinHash signatures + LSH band keys.
+
+128-perm MinHash (Broder 1997): h_i(x) = (a_i * x + b_i) mod p over
+32-bit shingle hashes, p = 4294967311 (smallest prime > 2^32), a_i, b_i
+drawn from a seeded PRNG. All arithmetic fits uint64 exactly
+(a < 2^32, x < 2^32 => a*x + b < 2^64), so the numpy kernel is exact.
+
+The permutation-min is the single pandas-UDF hop in the dedup pipeline
+(iterator form, Arrow-batched, numpy-vectorized per document). Band
+hashing stays JVM-side: the signature array is sliced into
+``bands`` x ``rows_per_band`` and each band is xxhash64-ed with its
+band id — a pure Catalyst expression feeding ``posexplode``.
+
+Anticipated by the reference's own roadmap (/root/reference/TODO.md:69-74
+"minhash or n-gram based first-pass index"), never implemented there.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_matcher_spark.config import DedupConfig
+
+_P = np.uint64(4294967311)  # prime > 2^32
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    # a in [1, 2^32), b in [0, 2^32)
+    a = rng.randint(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_udf(num_perm: int, seed: int):
+    """pandas UDF: array<long> shingle hashes -> array<long> signature."""
+    a, b = _perm_coeffs(num_perm, seed)
+    a_col = a[:, None]
+    b_col = b[:, None]
+    empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hashes in it:
+            out = []
+            for h in hashes:
+                if h is None or len(h) == 0:
+                    out.append(empty)
+                    continue
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64) & _MASK32
+                sig = ((a_col * x[None, :] + b_col) % _P).min(axis=1)
+                out.append(sig.astype(np.int64))
+            yield pd.Series(out)
+
+    return _udf
+
+
+def signature_col(shingle_hashes: Column, cfg: DedupConfig) -> Column:
+    return minhash_udf(cfg.num_perm, cfg.seed)(shingle_hashes)
+
+
+def band_structs_col(sig: Column | str, cfg: DedupConfig) -> Column:
+    """array<struct<band_id int, band_hash long>> — JVM expression.
+
+    band_hash = xxhash64(band_id, row_0, ..., row_{r-1}); including the
+    band id in the hash means a single 64-bit key identifies the bucket
+    (no cross-band collisions beyond hash collisions).
+    """
+    s = F.col(sig) if isinstance(sig, str) else sig
+    r = cfg.rows_per_band
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band_id"),
+            F.xxhash64(band, F.slice(s, band * r + 1, r)).alias("band_hash"),
+        ),
+    )
+
+
+def explode_bands(sig_df: DataFrame, id_col: str, cfg: DedupConfig) -> DataFrame:
+    """(id, signature) -> (id, band_id, band_hash), one row per band."""
+    return sig_df.select(
+        F.col(id_col),
+        F.explode(band_structs_col("signature", cfg)).alias("b"),
+    ).select(id_col, F.col("b.band_id"), F.col("b.band_hash"))
+
+
+def sig_agreement_col(sig_a: Column | str, sig_b: Column | str, num_perm: int) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature components —
+    pure JVM (zip_with + aggregate), no Python."""
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    agree = F.zip_with(a, b, lambda x, y: F.when(x == y, 1).otherwise(0))
+    total = F.aggregate(agree, F.lit(0), lambda acc, x: acc + x)
+    return total / F.lit(float(num_perm))

