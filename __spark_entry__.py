@@ -3,8 +3,20 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Operator coverage (SURVEY.md §2): normalization (O3), exact dedup /
+hash-agg merge (O4b analog), edit-threshold verification (O4d via
+levenshtein), weighted window top-k (O4f), plus the north-rule dedup
+stack (MinHash-LSH, SimHash, CC) and training-data ops (token stats,
+lang id, quality, fingerprint, ANN). Non-SQL-expressible ops (minhash
+bands, simhash, CC clusters, LSH ANN) have no oracle entry -> driver
+records rows-only checks.
+
+Float discipline for oracle parity: aggregates of doubles are summed
+as exact decimals and cast to double at the end (order-independent);
+per-row double expressions use identical operation order in both
+engines.
 """
 
 from __future__ import annotations
@@ -12,27 +24,439 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from fuzzy_matcher_spark.config import DedupConfig
+from fuzzy_matcher_spark.functions.normalize import normalize_col
+from fuzzy_matcher_spark.functions.textstats import (
+    bpe_token_count_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from fuzzy_matcher_spark.functions.shingles import shingles_col
+from fuzzy_matcher_spark.operators.ann import brute_force_topk, lsh_topk
+from fuzzy_matcher_spark.operators.dedup_exact import exact_clusters, exact_pairs
+from fuzzy_matcher_spark.operators.dedup_minhash import (
+    add_signatures,
+    candidate_pairs,
+    minhash_dedup,
+    verify_pairs,
+)
+from fuzzy_matcher_spark.operators.dedup_simhash import (
+    add_fingerprints,
+    simhash_candidate_pairs,
+    simhash_verify,
+)
+from fuzzy_matcher_spark.operators.topk import topk_per_group
+
+DEDUP_CFG = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH near-duplicate clustering of documents."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return minhash_dedup(docs, DEDUP_CFG, text_col="text", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_normalize_docs(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", normalize_col("text").alias("norm_text")
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint_col("text").alias("fingerprint")
+    )
+
+
+def q_exact_dup_clusters(spark, sf):
+    return exact_clusters(_t(spark, sf, "documents"), "text", "doc_id").select(
+        "doc_id", "cluster_id"
+    )
+
+
+def q_exact_dup_pairs(spark, sf):
+    return exact_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").cast("long").alias("n_tokens"),
+        bpe_token_count_col("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", lang_id_col("text").alias("lang_guess")
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", quality_score_col("text").alias("quality")
+    )
+
+
+def q_shingle_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(shingles_col("text", "word", 4)).cast("long").alias("n_shingles"),
+    )
+
+
+def q_lev_pairs_parts(spark, sf):
+    p = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = p.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("a_key") < F.col("b_key"))
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .where(F.col("dist") <= 3)
+        .select(
+            "a_key",
+            "b_key",
+            F.col("dist").cast("long").alias("dist"),
+            (
+                F.lit(1.0)
+                - F.col("dist")
+                / F.greatest(F.length("a_name"), F.length("b_name"))
+            ).alias("sim"),
+        )
+    )
+
+
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(20,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (
+                F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_disc"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "count_order",
+            "avg_disc",
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark, sf):
+    o = _t(spark, sf, "orders")
+    return topk_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_customer_nation_agg(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = brute_force_topk(emb, probes, k=3)
+    return out.select(
+        "probe_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# --- rows-only (not SQL-expressible: minhash/simhash/CC/LSH) ---
+
+def q_minhash_band_index(spark, sf):
+    sig = add_signatures(_t(spark, sf, "documents"), DEDUP_CFG)
+    from fuzzy_matcher_spark.functions.minhash import explode_bands
+
+    return explode_bands(sig, "doc_id", DEDUP_CFG)
+
+
+def q_near_dup_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sig = add_signatures(docs, DEDUP_CFG).persist()
+    cand = candidate_pairs(sig, DEDUP_CFG)
+    return verify_pairs(cand, sig, DEDUP_CFG, exact=True)
+
+
+def q_near_dup_clusters(spark, sf):
+    return minhash_dedup(_t(spark, sf, "documents"), DEDUP_CFG)
+
+
+def q_simhash_pairs(spark, sf):
+    fp = add_fingerprints(_t(spark, sf, "documents"), DEDUP_CFG)
+    return simhash_verify(simhash_candidate_pairs(fp, DEDUP_CFG), fp, DEDUP_CFG)
+
+
+def q_lsh_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(emb, probes, k=3, dim=dim)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "normalize_docs": q_normalize_docs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "shingle_count": q_shingle_count,
+        "lev_pairs_parts": q_lev_pairs_parts,
+        "tpch_q1": q_tpch_q1,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "customer_nation_agg": q_customer_nation_agg,
+        "events_hourly": q_events_hourly,
+        "ann_topk": q_ann_topk,
+        "minhash_band_index": q_minhash_band_index,
+        "near_dup_pairs": q_near_dup_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_STOPS = (
+    "['the','and','of','to','is','der','die','und','das','ist',"
+    "'el','la','que','los','una','le','les','des','est','dans']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    lang_case = """
+        WITH t AS (
+          SELECT doc_id, list_distinct({toks}) AS toks FROM documents
+        ), s AS (
+          SELECT doc_id,
+            len(list_intersect(toks, ['the','and','of','to','is'])) AS en,
+            len(list_intersect(toks, ['der','die','und','das','ist'])) AS de,
+            len(list_intersect(toks, ['el','la','que','los','una'])) AS es,
+            len(list_intersect(toks, ['le','les','des','est','dans'])) AS fr
+          FROM t
+        )
+        SELECT doc_id,
+          CASE
+            WHEN en > 0 AND en >= de AND en >= es AND en >= fr THEN 'en'
+            WHEN de > 0 AND de >= es AND de >= fr THEN 'de'
+            WHEN es > 0 AND es >= fr THEN 'es'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und'
+          END AS lang_guess
+        FROM s
+    """.format(toks=_TOKS)
+
+    quality = f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+          0.5 * (CASE WHEN length(text) > 0
+                 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)
+                 ELSE 0.0 END)
+          + 0.3 * (CASE WHEN len(toks) > 0
+                   THEN len(list_filter(toks, t2 -> list_contains({_STOPS}, t2))) / len(toks)
+                   ELSE 0.0 END)
+          + 0.2 * least(len(toks) / 100.0, 1.0) AS quality
+        FROM t
     """
-    return {}
+
+    shingles = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+          CAST(CASE WHEN len(toks) >= 4
+               THEN len(list_distinct(list_transform(range(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+3], ' '))))
+               ELSE 1 END AS BIGINT) AS n_shingles
+        FROM t
+    """
+
+    ann = """
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), p AS (
+          SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pe
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT p.probe_id, c.vec_id,
+                 list_dot_product(c.e, p.pe) /
+                 (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.pe, p.pe)))
+                 AS cosine
+          FROM c, p WHERE c.vec_id <> p.probe_id
+        ), ranked AS (
+          SELECT probe_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY cosine DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT probe_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+    """
+
+    return {
+        "normalize_docs": (
+            "SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+            " AS norm_text FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))"
+            " AS fingerprint FROM documents"
+        ),
+        "exact_dup_clusters": """
+            SELECT d.doc_id, m.cluster_id
+            FROM documents d
+            JOIN (SELECT text, min(doc_id) AS cluster_id
+                  FROM documents GROUP BY text) m
+            ON d.text = m.text
+        """,
+        "exact_dup_pairs": """
+            SELECT a, b FROM (
+              SELECT doc_id AS a,
+                     lead(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS b
+              FROM documents)
+            WHERE b IS NOT NULL
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_id": lang_case,
+        "quality_score": quality,
+        "shingle_count": shingles,
+        "lev_pairs_parts": """
+            SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                   1.0 - levenshtein(a.p_name, b.p_name)
+                         / greatest(length(a.p_name), length(b.p_name)) AS sim
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   count(*) AS count_order,
+                   CAST(sum(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*)
+                     AS avg_disc
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rank
+              FROM orders)
+            WHERE rank <= 3
+        """,
+        "customer_nation_agg": """
+            SELECT r_name, n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                     AS sum_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ann_topk": ann,
+    }

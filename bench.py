@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline dedup pipeline (the north-rule metric is docs/sec
+end-to-end near-dup clustering) plus representative operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Scaling evidence (north rule: >= 0.8 efficiency from N to 4N):
+  python bench.py --scaling    # runs flagship at local[8] and local[32]
+and is recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_suite():
+    """name -> callable(spark) returning a row count (forces the plan)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_minhash import minhash_dedup
+    from fuzzy_matcher_spark.operators.dedup_simhash import simhash_dedup
+    from fuzzy_matcher_spark.operators.dedup_exact import exact_clusters
+
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+
+    def docs(spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    return {
+        "minhash_dedup_docs": lambda s: minhash_dedup(docs(s), cfg).count(),
+        "simhash_dedup_docs": lambda s: simhash_dedup(docs(s), cfg).count(),
+        "exact_dedup_docs": lambda s: exact_clusters(docs(s), "text", "doc_id").count(),
+        "near_dup_pairs": lambda s: E.q_near_dup_pairs(s, SF_DIR).count(),
+        "tpch_q1": lambda s: E.q_tpch_q1(s, SF_DIR).count(),
+        "topk_orders": lambda s: E.q_topk_orders_per_customer(s, SF_DIR).count(),
+        "events_hourly": lambda s: E.q_events_hourly(s, SF_DIR).count(),
+        "ann_topk": lambda s: E.q_ann_topk(s, SF_DIR).count(),
+    }
+
+
+def run_suite(master: str, shuffle: int | None = None):
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=master, shuffle_partitions=shuffle)
+    suite = build_suite()
+    # warm up: spawn Python workers on every core + compile the Arrow/
+    # pandas-UDF path and codegen, so timings measure the operators
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_minhash import add_signatures
+
+    warm = spark.range(0, 2000).selectExpr(
+        "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
+    )
+    # element_at aggregate defeats column pruning so the UDF really runs
+    add_signatures(warm, DedupConfig()).agg(
+        F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
+    ).collect()
+    suite["exact_dedup_docs"](spark)
+    # best-of-2: the first execution of each distinct plan shape pays
+    # one-time codegen/planning cost (~2x); the second run is the
+    # steady-state number a long-running cluster job actually sees
+    timings, rows = {}, {}
+    for name, fn in suite.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows[name] = fn(spark)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    spark.stop()
+    return timings, rows, n_docs
+
+
+def run_scaling(n_docs: int = 40000, words: int = 150):
+    """Same job, same materialized input, two parallelism levels
+    (local[8] = N, local[32] = 4N). North-rule evidence: efficiency =
+    throughput(4N) / (4 * throughput(N)) >= 0.8."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        add_signatures,
+        minhash_dedup,
+    )
+    from fuzzy_matcher_spark.session import get_spark
+    from fuzzy_matcher_spark.sources.synth import synthetic_docs
+
+    corpus = "/tmp/spark_graft_scale_corpus.parquet"
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+    spark = get_spark(master="local[32]")
+    synthetic_docs(spark, n_docs, words).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    spark.stop()
+
+    out = {"n_docs": n_docs}
+    for n in (8, 32):
+        spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
+        warm = spark.range(0, 2000).selectExpr(
+            "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
+        )
+        add_signatures(warm, DedupConfig()).agg(
+            F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
+        ).collect()
+        docs = spark.read.parquet(corpus)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            minhash_dedup(docs, cfg).count()
+            best = min(best, time.perf_counter() - t0)
+        spark.stop()
+        out[f"local[{n}]"] = {
+            "sec": round(best, 3),
+            "docs_per_sec": round(n_docs / best, 2),
+        }
+    eff = out["local[32]"]["docs_per_sec"] / (4.0 * out["local[8]"]["docs_per_sec"])
+    out["scaling_efficiency_N_to_4N"] = round(eff, 4)
+    print(json.dumps(out))
+
+
+def main():
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    timings, _, n_docs = run_suite(f"local[{CPUS}]")
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship: minhash near-dup dedup)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "docs": n_docs,
+                "docs_per_sec_minhash_dedup": round(
+                    n_docs / timings["minhash_dedup_docs"], 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``brute_force_topk``: exact cosine top-k. Probes (small) are
+  broadcast; the dot product / norms are pure JVM higher-order
+  functions (zip_with + aggregate) inside the join projection — no
+  Python, no UDF. Top-k via ranking window per probe.
+
+- ``lsh_topk``: random-hyperplane LSH (Charikar 2002). A numpy pandas
+  UDF projects each embedding onto t*r seeded hyperplanes and packs
+  sign bits into t bucket keys; candidates come from per-table bucket
+  equi-joins (capped for skew), then exact cosine ranks the candidates.
+  Scale path: bucket join replaces the probe x corpus product; recall
+  is tunable via (tables, bits).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fuzzy_matcher_spark.operators.topk import topk_per_group
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(ca, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_col(a: Column | str, b: Column | str, na: Column, nb: Column) -> Column:
+    return dot_col(a, b) / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """(probe_id, vec_id, cosine, rank) — exact; probes broadcast."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), norm_col(vec_col).alias("_cn")
+    )
+    p = probes.select(
+        F.col(probe_id_col),
+        F.col(vec_col).alias("_pv"),
+        norm_col(vec_col).alias("_pn"),
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
+        .withColumn(
+            "cosine", dot_col("_cv", "_pv") / (F.col("_cn") * F.col("_pn"))
+        )
+        .select(probe_id_col, id_col, "cosine")
+    )
+    return topk_per_group(
+        scored, [probe_id_col], [F.desc("cosine"), F.col(id_col)], k
+    )
+
+
+def hyperplane_buckets_udf(dim: int, tables: int, bits: int, seed: int):
+    """pandas UDF: embedding -> array<long> of per-table bucket keys."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((tables * bits, dim)).astype(np.float32)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in vecs]
+            )  # (n, dim)
+            signs = (mat @ planes.T) > 0  # (n, tables*bits)
+            keys = signs.reshape(len(mat), tables, bits) @ weights  # (n, tables)
+            yield pd.Series(list(keys.astype(np.int64)))
+
+    return _udf
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    tables: int = 8,
+    bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank."""
+    buckets = hyperplane_buckets_udf(dim, tables, bits, seed)
+
+    def index(df: DataFrame, idc: str) -> DataFrame:
+        return (
+            df.withColumn("_bk", buckets(F.col(vec_col)))
+            .select(
+                F.col(idc),
+                F.col(vec_col),
+                F.posexplode("_bk").alias("table_id", "bucket"),
+            )
+        )
+
+    ci = index(corpus, id_col)
+    pi = index(probes, probe_id_col).withColumnRenamed(vec_col, "_pv")
+    cand = (
+        ci.join(pi, ["table_id", "bucket"])
+        .where(F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col, vec_col, "_pv")
+        .dropDuplicates([probe_id_col, id_col])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        dot_col(vec_col, "_pv") / (norm_col(vec_col) * norm_col("_pv")),
+    ).select(probe_id_col, id_col, "cosine")
+    return topk_per_group(
+        scored, [probe_id_col], [F.desc("cosine"), F.col(id_col)], k
+    )

@@ -36,7 +36,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -49,6 +49,7 @@ from fuzzy_matcher_spark.functions.minhash import (
 from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
 from fuzzy_matcher_spark.operators.connected_components import connected_components
 from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
+from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
 
 
 @F.pandas_udf(T.DoubleType())
@@ -69,11 +70,22 @@ def jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series
         yield pd.Series(out)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition only when the input is under-partitioned
+    (e.g. one small parquet file locally). At cluster scale the scan
+    already carries enough partitions and this is a no-op — we never
+    add an unconditional shuffle in front of the UDF hop."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def add_signatures(
     df: DataFrame, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, shingle_hashes, signature) — columns derived, text untouched."""
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         shingle_hashes_col(
             shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
@@ -85,27 +97,9 @@ def candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id")
     """Self-join the band index with bucket-size capping. Returns
     distinct (a, b) with a < b."""
     idx = explode_bands(sig_df, id_col, cfg)
-    w = Window.partitionBy("band_id", "band_hash")
-    idx = idx.withColumn("_bn", F.count(F.lit(1)).over(w))
-
-    small = idx.where(F.col("_bn") <= cfg.max_band_bucket).drop("_bn")
-    x = small.select(
-        "band_id", "band_hash", F.col(id_col).alias("a")
+    return capped_self_join_pairs(
+        idx, ["band_id", "band_hash"], id_col, cfg.max_band_bucket
     )
-    y = small.select(
-        "band_id", "band_hash", F.col(id_col).alias("b")
-    )
-    pairs_small = x.join(y, ["band_id", "band_hash"]).where(F.col("a") < F.col("b"))
-
-    big = idx.where(F.col("_bn") > cfg.max_band_bucket)
-    wo = Window.partitionBy("band_id", "band_hash").orderBy(id_col)
-    pairs_big = (
-        big.withColumn("_nxt", F.lead(id_col).over(wo))
-        .where(F.col("_nxt").isNotNull())
-        .select(F.col(id_col).alias("a"), F.col("_nxt").alias("b"))
-    )
-
-    return pairs_small.select("a", "b").union(pairs_big).distinct()
 
 
 def verify_pairs(
@@ -159,7 +153,9 @@ def minhash_dedup(
     near-duplicate connected component; singletons map to themselves."""
     cfg = cfg or DedupConfig()
     cfg.validate()
-    sig_df = add_signatures(df, cfg, text_col, id_col)
+    # signatures feed three consumers (band index + both verify sides):
+    # persist so the pandas-UDF hop runs once
+    sig_df = add_signatures(df, cfg, text_col, id_col).persist()
     pairs = candidate_pairs(sig_df, cfg, id_col)
     verified = verify_pairs(pairs, sig_df, cfg, id_col, exact=exact_verify)
     edge_df = verified.select("a", "b")

@@ -1,0 +1,92 @@
+"""SimHash Hamming-bucket near-duplicate detection (north-rule mode 2).
+
+Pipeline: shingle hashes (JVM) -> 64-bit SimHash (numpy pandas UDF) ->
+bit-slice bucket index (JVM) -> capped self-join -> Hamming verify
+(bit_count(a XOR b), pure JVM) -> union exact pairs -> CC.
+
+With ``tables`` bit slices, any pair within Hamming distance
+(tables - 1) shares at least one full slice (pigeonhole), so candidate
+generation is exact for r <= tables - 1; the config validates this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_matcher_spark.config import DedupConfig
+from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
+from fuzzy_matcher_spark.functions.simhash import (
+    explode_slices,
+    hamming_col,
+    simhash64_udf,
+)
+from fuzzy_matcher_spark.operators.connected_components import connected_components
+from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
+from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
+
+
+def add_fingerprints(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    from fuzzy_matcher_spark.operators.dedup_minhash import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        simhash64_udf(
+            shingle_hashes_col(
+                shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
+            )
+        ).alias("fingerprint"),
+    )
+
+
+def simhash_candidate_pairs(
+    fp_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    if cfg.simhash_hamming_max > cfg.simhash_tables - 1:
+        raise ValueError(
+            "pigeonhole guarantee requires hamming_max <= tables - 1 "
+            f"(got r={cfg.simhash_hamming_max}, tables={cfg.simhash_tables})"
+        )
+    idx = explode_slices(fp_df, id_col, "fingerprint", cfg.simhash_tables).select(
+        "table_id", "slice_key", id_col
+    )
+    return capped_self_join_pairs(
+        idx, ["table_id", "slice_key"], id_col, cfg.max_band_bucket
+    )
+
+
+def simhash_verify(
+    pairs: DataFrame, fp_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+) -> DataFrame:
+    fa = fp_df.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa"))
+    fb = fp_df.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb"))
+    return (
+        pairs.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", hamming_col("_fa", "_fb"))
+        .where(F.col("hamming") <= cfg.simhash_hamming_max)
+        .select("a", "b", "hamming")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_exact: bool = True,
+) -> DataFrame:
+    cfg = cfg or DedupConfig()
+    fp_df = add_fingerprints(df, cfg, text_col, id_col).persist()
+    pairs = simhash_candidate_pairs(fp_df, cfg, id_col)
+    verified = simhash_verify(pairs, fp_df, cfg, id_col).select("a", "b")
+    if include_exact:
+        verified = verified.union(exact_pairs(df, text_col, id_col)).distinct()
+    comp = connected_components(verified, max_iter=cfg.cc_max_iter)
+    all_ids = df.select(F.col(id_col))
+    return all_ids.join(comp, all_ids[id_col] == comp["id"], "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    )

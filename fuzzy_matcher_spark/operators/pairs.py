@@ -1,0 +1,39 @@
+"""Shared candidate-pair generation: capped self-equi-join on bucket keys.
+
+The skew-control pattern used by every blocking scheme (MinHash bands,
+SimHash slices, prefix keys): one window over the bucket keys counts
+members (reusing the same shuffle the join needs), small buckets emit
+all pairs via self-join, oversized buckets emit a sorted chain of
+consecutive pairs — linear in bucket size, connectivity-preserving.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def capped_self_join_pairs(
+    idx: DataFrame,
+    bucket_keys: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """idx(bucket_keys..., id_col) -> distinct (a, b) with a < b."""
+    w = Window.partitionBy(*bucket_keys)
+    counted = idx.withColumn("_bn", F.count(F.lit(1)).over(w))
+
+    small = counted.where(F.col("_bn") <= cap).drop("_bn")
+    x = small.select(*bucket_keys, F.col(id_col).alias("a"))
+    y = small.select(*bucket_keys, F.col(id_col).alias("b"))
+    pairs_small = x.join(y, bucket_keys).where(F.col("a") < F.col("b"))
+
+    big = counted.where(F.col("_bn") > cap)
+    wo = Window.partitionBy(*bucket_keys).orderBy(id_col)
+    pairs_big = (
+        big.withColumn("_nxt", F.lead(id_col).over(wo))
+        .where(F.col("_nxt").isNotNull())
+        .select(F.col(id_col).alias("a"), F.col("_nxt").alias("b"))
+    )
+
+    return pairs_small.select("a", "b").union(pairs_big).distinct()

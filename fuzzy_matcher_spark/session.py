@@ -29,7 +29,9 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
     n_threads = _master_threads(master, int(cpus))
-    shuffle = shuffle_partitions or max(2 * n_threads, 8)
+    # one shuffle partition per core locally (AQE coalesces small
+    # shuffles); a real cluster submit raises this to ~2-3x total cores
+    shuffle = shuffle_partitions or max(n_threads, 8)
 
     b = (
         SparkSession.builder.appName(app_name)
