@@ -1,0 +1,241 @@
+"""Reference-parity multi-field fuzzy matcher, set-oriented.
+
+Re-expresses the reference probe pipeline
+(/root/reference/fuzzy_matcher_core/fuzzy_matcher_core.go:109-291) as
+DataFrame operators:
+
+  trie walk per field (O4a/O5/O6)  -> blocking joins per field
+                                      (exact key ∪ prefix-1 ∪ shared
+                                      char-bigram), generous by design
+  edit accounting (O7)             -> trie_edit_distance pandas UDF,
+                                      filtered per-field (<= MaxEdits[f],
+                                      fuzzy_matcher_core.go:189-191)
+  candidate merge (O4b)            -> groupBy(probe,id).agg(min edits
+                                      per field -> map)
+  global edit cap (O4c, clean.go:
+  54-90)                           -> aggregate(map_values) <= MaxEdits
+  verification + thresholds (O4d,
+  fuzzy_matcher_core.go:220-260)   -> per-field similarity kernels with
+                                      the reference decision order
+  weighted score (O4e)             -> sum(w_f * sim_f) projection
+  top-5 (O4f)                      -> row_number window per probe
+  TTL expiry (O11, clean.go:29-51) -> read-time expiry predicate
+  delete (O12, clean.go:93-134)    -> left-anti join (remove_entries)
+  validation gate (O14,
+  example_source.go:21-53)         -> is_valid probe column: invalid
+                                      probes get exact-only budgets
+
+Blocking recall contract: any pair reachable by the trie within the
+edit budgets shares the first character or at least one character
+bigram of the normalized values (or is an exact match) — the generous
+union over-generates and verification decides, exactly the reference's
+generate-then-verify shape. At web scale the bigram block is replaced
+by MinHash bands over char n-grams (same code family as
+operators/dedup_minhash.py); bigrams keep tiny-probe workloads exact.
+
+Probe side is assumed small relative to the corpus and is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fuzzy_matcher_spark.config import MatchConfig
+from fuzzy_matcher_spark.functions.normalize import normalize_col
+from fuzzy_matcher_spark.functions.similarity import similarity_udf, trie_edits_udf
+from fuzzy_matcher_spark.operators.topk import topk_per_group
+
+
+def _bigrams(col: Column) -> Column:
+    """Distinct char bigrams of an already-normalized value."""
+    n = F.length(col)
+    return F.array_distinct(
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1), lambda i: F.substring(col, i, F.lit(2))
+            ),
+        ).otherwise(F.array(col))
+    )
+
+
+def _block_keys(col: Column) -> Column:
+    """prefix-1 ∪ bigrams, namespaced so key kinds never cross-match."""
+    prefix = F.concat(F.lit("p:"), F.substring(col, 1, 1))
+    grams = F.transform(_bigrams(col), lambda g: F.concat(F.lit("g:"), g))
+    return F.array_union(F.array(prefix), grams)
+
+
+def _field_candidates(
+    base: DataFrame,
+    probes: DataFrame,
+    field: str,
+    max_edits: int,
+    ocr: bool,
+    id_col: str,
+    probe_id_col: str,
+) -> DataFrame:
+    """(probe_id, id, edits) for one field. base/probes carry the
+    normalized field as column `_n`."""
+    b = base.select(F.col(id_col), F.col(f"_n_{field}").alias("_bn"))
+    p = probes.select(
+        F.col(probe_id_col), F.col(f"_n_{field}").alias("_pn"), "_is_valid"
+    )
+
+    exact = b.join(
+        F.broadcast(p.select(probe_id_col, "_pn")), F.col("_bn") == F.col("_pn")
+    ).select(probe_id_col, id_col, F.lit(0).alias("edits"))
+    if max_edits <= 0:
+        return exact
+
+    # fuzzy path: only valid probes carry non-zero budgets (O14)
+    pv = p.where(F.col("_is_valid") & (F.length("_pn") > 0))
+    pk = pv.select(
+        probe_id_col, "_pn", F.explode(_block_keys(F.col("_pn"))).alias("_k")
+    )
+    bk = b.where(F.length("_bn") > 0).select(
+        id_col, "_bn", F.explode(_block_keys(F.col("_bn"))).alias("_k")
+    )
+    cand = (
+        bk.join(F.broadcast(pk), "_k")
+        .dropDuplicates([probe_id_col, id_col])
+        .withColumn("edits", trie_edits_udf(ocr)("_pn", "_bn"))
+        .where(F.col("edits") <= F.lit(max_edits))
+        .select(probe_id_col, id_col, "edits")
+    )
+    return exact.union(cand)
+
+
+def prepare(
+    df: DataFrame, cfg: MatchConfig, extraction: dict[str, Column] | None = None
+) -> DataFrame:
+    """Add normalized match-key columns `_n_<field>`.
+
+    ``extraction`` maps field name -> raw Column (CreateFuzzyEntry
+    analog, example_source.go:104-120); defaults to the same-named
+    column. Normalization = lower + strip non-alphanumerics
+    (normalize.go:9-15) — derived columns only.
+    """
+    out = df
+    for f in cfg.fields:
+        src = (extraction or {}).get(f, F.col(f))
+        out = out.withColumn(f"_n_{f}", normalize_col(src))
+    return out
+
+
+def search(
+    base: DataFrame,
+    probes: DataFrame,
+    cfg: MatchConfig,
+    id_col: str = "id",
+    probe_id_col: str = "probe_id",
+    is_valid_col: Column | None = None,
+    as_of: Column | None = None,
+    expiry_col: str = "expiry",
+) -> DataFrame:
+    """Top-k matches per probe: (probe_id, id, score, rank).
+
+    ``base`` and ``probes`` must already carry `_n_<field>` columns
+    (see ``prepare``). ``is_valid_col`` is the validation gate over the
+    PROBE row (reference evaluates GetSearchParameters on the query,
+    example_source.go:20-53); default: always valid.
+    ``as_of`` enables TTL expiry (O11) as a read-time predicate.
+    """
+    cfg.validate()
+    if cfg.core.use_expiration and as_of is not None:
+        base = base.where(F.col(expiry_col) > as_of)
+
+    probes = probes.withColumn(
+        "_is_valid",
+        is_valid_col if is_valid_col is not None else F.lit(True),
+    )
+
+    # per-field candidate generation (O4a) + per-field edit cap
+    parts = []
+    for f, fp in cfg.fields.items():
+        parts.append(
+            _field_candidates(
+                base,
+                probes,
+                f,
+                fp.max_edits,
+                cfg.core.correct_ocr_misreads,
+                id_col,
+                probe_id_col,
+            ).select(
+                probe_id_col, id_col, F.lit(f).alias("field"), "edits"
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    # merge (O4b): min edits per (probe, id, field) -> field->edits map
+    merged = (
+        cand.groupBy(probe_id_col, id_col, "field")
+        .agg(F.min("edits").alias("edits"))
+        .groupBy(probe_id_col, id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("field", "edits"))
+            ).alias("_fed")
+        )
+    )
+
+    # global total-edit cap (O4c, clean.go:69-77)
+    merged = merged.where(
+        F.aggregate(F.map_values("_fed"), F.lit(0), lambda a, x: a + x)
+        <= F.lit(cfg.core.max_edits)
+    )
+
+    # verification (O4d): join values back, reference decision order
+    b_vals = base.select(
+        F.col(id_col), *[F.col(f"_n_{f}").alias(f"_bn_{f}") for f in cfg.fields]
+    )
+    p_vals = probes.select(
+        F.col(probe_id_col),
+        *[F.col(f"_n_{f}").alias(f"_pn_{f}") for f in cfg.fields],
+    )
+    v = merged.join(F.broadcast(p_vals), probe_id_col).join(b_vals, id_col)
+
+    reject = F.lit(False)
+    score = F.lit(0.0)
+    for f, fp in cfg.fields.items():
+        present = F.map_contains_key("_fed", F.lit(f))
+        sim_raw = F.when(
+            present, similarity_udf(fp.method)(F.col(f"_pn_{f}"), F.col(f"_bn_{f}"))
+        ).otherwise(F.lit(None))
+        # `similarity < min -> similarity = 0` (fuzzy_matcher_core.go:239-241)
+        sim = F.when(sim_raw < F.lit(fp.min_distance), F.lit(0.0)).otherwise(sim_raw)
+        if fp.min_distance > 0:
+            # required: missing or below threshold => reject entry
+            # (fuzzy_matcher_core.go:228-233, :249-252)
+            reject = reject | (~present) | (sim < F.lit(fp.min_distance))
+            contrib = F.lit(fp.weight) * sim
+        else:
+            # optional: sim==0 is skipped from the score (:243-247)
+            contrib = F.when(
+                present & (sim > 0), F.lit(fp.weight) * sim
+            ).otherwise(F.lit(0.0))
+        score = score + F.coalesce(contrib, F.lit(0.0))
+
+    scored = (
+        v.withColumn("_reject", reject)
+        .where(~F.col("_reject"))
+        .select(probe_id_col, id_col, score.alias("score"))
+    )
+
+    # top-k (O4f): score desc, id asc tie-break
+    return topk_per_group(
+        scored, [probe_id_col], [F.desc("score"), F.col(id_col)], cfg.top_k
+    ).select(probe_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+
+
+def remove_entries(base: DataFrame, ids: DataFrame, id_col: str = "id") -> DataFrame:
+    """Delete path (O12): left-anti join; with TableIO persistence this
+    becomes a MERGE/overwrite (sources/tableio.py)."""
+    other = ids.columns[0]
+    return base.join(
+        ids.select(F.col(other).alias(id_col)), id_col, "left_anti"
+    )
