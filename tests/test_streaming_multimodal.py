@@ -1,0 +1,151 @@
+"""Streaming incremental dedup + multimodal plumbing + ngram dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzy_matcher_spark.config import DedupConfig
+from fuzzy_matcher_spark.operators.dedup_ngram import ngram_dedup
+from fuzzy_matcher_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+)
+from fuzzy_matcher_spark.sources.tableio import ParquetTableIO
+from fuzzy_matcher_spark.sources.webpages import generate_webpage_rows, SCHEMA
+from fuzzy_matcher_spark.streaming.ingest import (
+    PAIR_TABLE,
+    SIG_TABLE,
+    incremental_dedup_sink,
+    windowed_doc_counts,
+)
+
+CFG = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Two micro-batches through foreachBatch: pairs found within a
+    batch AND across batches (new-vs-indexed)."""
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    rows = generate_webpage_rows(n_families=8, singletons=6, seed=11)
+    docs = [(r[6], r[3]) for r in rows]  # (doc_id, text)
+    half = len(docs) // 2
+    sink = incremental_dedup_sink(io, CFG)
+
+    # simulate two triggers; family members straddle the split
+    b0 = spark.createDataFrame(docs[:half], "doc_id long, text string")
+    b1 = spark.createDataFrame(docs[half:], "doc_id long, text string")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    assert io.read(SIG_TABLE).count() == len(docs)
+    pairs = io.read(PAIR_TABLE)
+    assert pairs.count() > 0
+    # batch source: incremental result == batch result on the same corpus
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        add_signatures,
+        candidate_pairs,
+        verify_pairs,
+    )
+
+    all_df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = add_signatures(all_df, CFG).persist()
+    batch_pairs = {
+        (r.a, r.b)
+        for r in verify_pairs(candidate_pairs(sig, CFG), sig, CFG).collect()
+    }
+    stream_pairs = {(r.a, r.b) for r in pairs.collect()}
+    assert batch_pairs == stream_pairs
+
+
+def test_streaming_query_end_to_end(spark, tmp_path):
+    """Real readStream -> foreachBatch -> processAllAvailable."""
+    src = str(tmp_path / "src")
+    rows = generate_webpage_rows(n_families=5, singletons=5, seed=13)
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    io = ParquetTableIO(spark, str(tmp_path / "wh2"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(src)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(incremental_dedup_sink(io, CFG))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert io.read(SIG_TABLE).count() == len(rows)
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    rows = generate_webpage_rows(n_families=5, singletons=5, seed=14)
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = windowed_doc_counts(stream, watermark="1 hour", window="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with a bounded
+    # source the final watermark closes all but the last window(s)
+    got = spark.sql("select * from win_counts").collect()
+    total = sum(r.n_docs for r in got)
+    assert total >= 0  # structural: query runs, schema correct
+    assert {c for c in spark.table("win_counts").columns} == {
+        "window_start", "window_end", "lang", "n_docs",
+    }
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes" * 10, {"w": "64", "h": "64"}),
+        (2, "audio", b"RIFF fake" * 100, {"sr": "16000"}),
+        (3, "video", b"\x00\x00ftyp" * 50, {"n_frames": "95"}),
+        (4, "image", b"", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, content binary, meta map<string,string>")
+    feats = extract_features(media, deterministic_fake=True).collect()
+    assert len(feats) == 4
+    for r in feats:
+        assert len(r.feature) == FEATURE_DIM
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"\x89PNG fake bytes") * 10
+    # deterministic: same input -> same features
+    again = {r.media_id: r.feature for r in
+             extract_features(media, deterministic_fake=True).collect()}
+    assert again[2] == by_id[2].feature
+
+    # real decode path is explicitly stubbed
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        extract_features(media).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(3, "video", b"x", {"n_frames": "95"}), (4, "video", b"y", None)],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    got = frame_sample_plan(media, every_n=10).collect()
+    idx = sorted(r.frame_index for r in got if r.media_id == 3)
+    assert idx == list(range(0, 95, 10))
+    assert not [r for r in got if r.media_id == 4]  # no metadata -> no rows
+
+
+def test_ngram_dedup(spark):
+    rows = generate_webpage_rows(n_families=12, singletons=15, seed=21)
+    df = spark.createDataFrame(
+        [(r[6], r[3]) for r in rows], "doc_id long, text string"
+    )
+    cl = {r.doc_id: r.cluster_id for r in ngram_dedup(df, CFG).collect()}
+    texts = {r[6]: r[3] for r in rows}
+    for a in texts:
+        for b in texts:
+            if a < b and texts[a] == texts[b]:
+                assert cl[a] == cl[b]
