@@ -240,7 +240,130 @@ def q_ann_topk(spark, sf):
     )
 
 
+def q_exact_keep_canonical(spark, sf):
+    """Deduplicated corpus after exact dedup: canonical doc per cluster
+    (identical texts tie on length => smallest id wins)."""
+    from fuzzy_matcher_spark.operators.canonical import keep_canonical
+
+    docs = _t(spark, sf, "documents")
+    clusters = exact_clusters(docs, "text", "doc_id")
+    return keep_canonical(clusters, docs).select("doc_id")
+
+
+def q_embedding_dup_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs (brute force, exact)."""
+    from fuzzy_matcher_spark.operators.ann import dot_col, norm_col
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("_eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            dot_col("_ea", "_eb") / (norm_col("_ea") * norm_col("_eb")),
+        )
+        .where(F.col("cosine") >= 0.8)
+        .select("a", "b", "cosine")
+    )
+
+
+def q_events_sessions(spark, sf):
+    """Sessionization: 30-minute inactivity gap splits sessions."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_matcher_exact_search(spark, sf):
+    """Matcher with all-zero budgets (exact-only path, O14 invalid-probe
+    semantics): probe = every 100th customer against the full corpus."""
+    from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
+    from fuzzy_matcher_spark.operators.matcher import prepare, search
+
+    cfg = MatchConfig(
+        fields={"c_name": FieldParams(0, 0, 1.0, "default", 1.0)},
+        core=CoreParams(max_edits=0),
+    )
+    cust = _t(spark, sf, "customer")
+    base = prepare(cust.select(F.col("c_custkey").alias("id"), "c_name"), cfg)
+    probes = prepare(
+        cust.where(F.col("c_custkey") % 100 == 3).select(
+            F.col("c_custkey").alias("probe_id"), "c_name"
+        ),
+        cfg,
+    )
+    return search(base, probes, cfg, probe_id_col="probe_id")
+
+
 # --- rows-only (not SQL-expressible: minhash/simhash/CC/LSH) ---
+
+
+def q_matcher_fuzzy_search(spark, sf):
+    """Fuzzy matcher (JW verification, trie-edit budgets) over customer
+    names with single-character corruptions."""
+    from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
+    from fuzzy_matcher_spark.operators.matcher import prepare, search
+
+    cfg = MatchConfig(
+        fields={"c_name": FieldParams(6, 3, 1.0, "jaro", 0.85)},
+        core=CoreParams(max_edits=3),
+    )
+    cust = _t(spark, sf, "customer")
+    base = prepare(cust.select(F.col("c_custkey").alias("id"), "c_name"), cfg)
+    probes = prepare(
+        cust.where(F.col("c_custkey") % 100 == 3).select(
+            F.col("c_custkey").alias("probe_id"),
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name)-1)"), F.lit("x")
+            ).alias("c_name"),
+        ),
+        cfg,
+    )
+    return search(base, probes, cfg, probe_id_col="probe_id")
+
+
+def q_substring_pairs(spark, sf):
+    from fuzzy_matcher_spark.operators.dedup_substring import (
+        substring_candidates,
+        substring_verify,
+    )
+
+    cfg = DedupConfig(min_substring=60)
+    docs = _t(spark, sf, "documents")
+    return substring_verify(substring_candidates(docs, cfg), docs, cfg)
+
+
+def q_ngram_dup_clusters(spark, sf):
+    from fuzzy_matcher_spark.operators.dedup_ngram import ngram_dedup
+
+    return ngram_dedup(_t(spark, sf, "documents"), DEDUP_CFG)
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing: documents' bytes as opaque media content."""
+    from fuzzy_matcher_spark.operators.multimodal import extract_features
+
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return extract_features(media, deterministic_fake=True)
 
 def q_minhash_band_index(spark, sf):
     sig = add_signatures(_t(spark, sf, "documents"), DEDUP_CFG)
@@ -258,6 +381,14 @@ def q_near_dup_pairs(spark, sf):
 
 def q_near_dup_clusters(spark, sf):
     return minhash_dedup(_t(spark, sf, "documents"), DEDUP_CFG)
+
+
+def q_near_dup_keep_canonical(spark, sf):
+    from fuzzy_matcher_spark.operators.canonical import elect_canonical
+
+    docs = _t(spark, sf, "documents")
+    clusters = minhash_dedup(docs, DEDUP_CFG)
+    return elect_canonical(clusters, docs)
 
 
 def q_simhash_pairs(spark, sf):
@@ -292,10 +423,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_nation_agg": q_customer_nation_agg,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
+        "exact_keep_canonical": q_exact_keep_canonical,
+        "near_dup_keep_canonical": q_near_dup_keep_canonical,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "events_sessions": q_events_sessions,
+        "matcher_exact_search": q_matcher_exact_search,
+        "matcher_fuzzy_search": q_matcher_fuzzy_search,
         "minhash_band_index": q_minhash_band_index,
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
+        "substring_pairs": q_substring_pairs,
+        "ngram_dup_clusters": q_ngram_dup_clusters,
+        "media_features": q_media_features,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 
@@ -442,6 +582,46 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM orders)
             WHERE rank <= 3
+        """,
+        "exact_keep_canonical": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.8
+        """,
+        "events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                          OR date_diff('second',
+                               lag(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), ts) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "matcher_exact_search": """
+            WITH nb AS (
+              SELECT c_custkey,
+                     regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS nk
+              FROM customer)
+            SELECT probe_id, id, score, rank FROM (
+              SELECT a.c_custkey AS probe_id, b.c_custkey AS id, 1.0 AS score,
+                     CAST(row_number() OVER (PARTITION BY a.c_custkey
+                                             ORDER BY b.c_custkey) AS INT) AS rank
+              FROM nb a JOIN nb b ON a.nk = b.nk
+              WHERE a.c_custkey % 100 = 3)
+            WHERE rank <= 5
         """,
         "customer_nation_agg": """
             SELECT r_name, n_name, count(*) AS n_customers,

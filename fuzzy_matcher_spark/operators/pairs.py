@@ -37,3 +37,34 @@ def capped_self_join_pairs(
     )
 
     return pairs_small.select("a", "b").union(pairs_big).distinct()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the (smaller) right side
+    ``salt`` times and scatter the left side across replicas, so one
+    hot key spreads over ``salt`` reducers instead of one.
+
+    Complements AQE's skew-join splitting (which only fires above size
+    thresholds and not under every join strategy): use this for
+    probe-vs-index joins whose key histogram is known to be
+    pathological — e.g. LSH band keys of boilerplate web pages at
+    10^12-doc scale (SURVEY.md §4.3). Within this repo the self-join
+    paths use bucket capping instead (bounded degree by construction),
+    so this utility is for the asymmetric joins.
+    """
+    left_s = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    right_s = right.join(
+        F.broadcast(
+            left.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = left_s.join(right_s, [key, "_salt"], how)
+    return out.drop("_salt")

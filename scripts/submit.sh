@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Package the library and launch the dedup pipeline via spark-submit.
+#
+# Local smoke:
+#   scripts/submit.sh --input /root/testdata/sf0.001/documents.parquet \
+#                     --workdir /tmp/dedup_wh --run-id demo
+#
+# Cluster (N and 4N executors for the scaling measurement):
+#   SPARK_MASTER=yarn EXECUTORS=250 scripts/submit.sh --input s3://...  \
+#     --workdir s3://.../warehouse --run-id prod-2025-06-01
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ZIP=/tmp/fuzzy_matcher_spark.zip
+rm -f "$ZIP"
+(cd . && zip -qr "$ZIP" fuzzy_matcher_spark -x '*__pycache__*')
+
+MASTER="${SPARK_MASTER:-local[*]}"
+EXECUTORS="${EXECUTORS:-}"
+EXTRA=()
+if [[ -n "$EXECUTORS" ]]; then
+  EXTRA+=(--conf "spark.executor.instances=$EXECUTORS")
+fi
+# Iceberg catalog (uncomment on a cluster with the runtime jar):
+# EXTRA+=(--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.0 \
+#         --conf spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog \
+#         --conf spark.sql.catalog.local.type=hadoop \
+#         --conf spark.sql.catalog.local.warehouse="$ICEBERG_WAREHOUSE")
+
+exec spark-submit \
+  --master "$MASTER" \
+  --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.adaptive.skewJoin.enabled=true \
+  --conf spark.sql.execution.arrow.pyspark.enabled=true \
+  --conf spark.sql.session.timeZone=UTC \
+  "${EXTRA[@]}" \
+  --py-files "$ZIP" \
+  fuzzy_matcher_spark/jobs/dedup_job.py "$@"
