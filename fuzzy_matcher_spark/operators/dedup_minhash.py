@@ -115,29 +115,41 @@ def verify_pairs(
     est (JVM signature agreement) prefilters at threshold - margin;
     exact Jaccard (pandas UDF over shingle-hash sets) decides. With
     exact=False the estimate alone decides (cheaper; documented bias).
+
+    Shuffle discipline: the prefilter joins carry only the 128-long
+    signature; the (much wider) shingle-hash sets are joined in a
+    second pass restricted to prefilter survivors — at web scale the
+    survivors are orders of magnitude fewer than the candidates.
     """
     sig_a = sig_df.select(
-        F.col(id_col).alias("a"),
-        F.col("signature").alias("_sig_a"),
-        F.col("shingle_hashes").alias("_sh_a"),
+        F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
     )
     sig_b = sig_df.select(
-        F.col(id_col).alias("b"),
-        F.col("signature").alias("_sig_b"),
-        F.col("shingle_hashes").alias("_sh_b"),
+        F.col(id_col).alias("b"), F.col("signature").alias("_sig_b")
     )
     j = (
         pairs.join(sig_a, "a")
         .join(sig_b, "b")
         .withColumn("est", sig_agreement_col("_sig_a", "_sig_b", cfg.num_perm))
         .where(F.col("est") >= cfg.jaccard_threshold - est_margin)
+        .select("a", "b", "est")
     )
-    if exact:
-        j = j.withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
-    else:
-        j = j.withColumn("jaccard", F.col("est"))
-    return j.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
-        "a", "b", "jaccard"
+    if not exact:
+        return j.where(F.col("est") >= cfg.jaccard_threshold).select(
+            "a", "b", F.col("est").alias("jaccard")
+        )
+    sh_a = sig_df.select(
+        F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_sh_a")
+    )
+    sh_b = sig_df.select(
+        F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_sh_b")
+    )
+    return (
+        j.join(sh_a, "a")
+        .join(sh_b, "b")
+        .withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
+        .where(F.col("jaccard") >= cfg.jaccard_threshold)
+        .select("a", "b", "jaccard")
     )
 
 

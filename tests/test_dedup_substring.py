@@ -102,3 +102,17 @@ def test_substring_dedup_end_to_end(spark, corpus):
         for b in rows:
             if a < b and _lcs_bruteforce(rows[a], rows[b]) >= CFG.min_substring:
                 assert cl[a] == cl[b], (a, b)
+
+
+def test_suffix_array_pairs_match_bruteforce(spark, corpus):
+    """The SA engine finds exactly the brute-force >= L pairs."""
+    from fuzzy_matcher_spark.operators.suffix_array import suffix_substring_pairs
+
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    want = set()
+    for a in rows:
+        for b in rows:
+            if a < b and _lcs_bruteforce(rows[a], rows[b]) >= CFG.min_substring:
+                want.add((a, b))
+    got = {(r.a, r.b) for r in suffix_substring_pairs(corpus, CFG).collect()}
+    assert got == want

@@ -1,0 +1,83 @@
+"""Property-based kernel tests (hypothesis) — no Spark session needed."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fuzzy_matcher_spark.functions.similarity import (
+    jaro_winkler,
+    levenshtein,
+    levenshtein_sim,
+    trie_edit_distance,
+)
+from fuzzy_matcher_spark.operators.suffix_array import build_suffix_array
+
+words = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", max_size=12)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_jw_range_and_symmetry_of_perfection(a, b):
+    v = jaro_winkler(a, b)
+    assert 0.0 <= v <= 1.0
+    if a and a == b:
+        assert v == 1.0
+    if not a or not b:
+        assert v == 0.0
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_levenshtein_metric_properties(a, b):
+    d = levenshtein(a, b)
+    assert d == levenshtein(b, a)
+    assert (d == 0) == (a == b)
+    assert d <= max(len(a), len(b))
+    assert 0.0 <= levenshtein_sim(a, b) <= 1.0
+
+
+@given(words, words, st.text(alphabet="abcdefghijklmnopqrstuvwxyz", max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_lev_triangle(a, b, c):
+    assert levenshtein(a, c) <= levenshtein(a, b) + levenshtein(b, c)
+
+
+@given(words, words)
+@settings(max_examples=200, deadline=None)
+def test_trie_edits_bounded_by_levenshtein(a, b):
+    """Free suffixes only ever reduce cost; OCR only adds transitions."""
+    t = trie_edit_distance(a, b)
+    assert 0 <= t <= levenshtein(a, b)
+    assert trie_edit_distance(a, b, ocr=True) <= t
+    # prefix extension of the stored value is free (completion)
+    assert trie_edit_distance(a, a + "suffix") == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=7), min_size=2, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_suffix_array_is_sorted_suffix_order(codes):
+    s = np.asarray(codes, dtype=np.int64)
+    sa = build_suffix_array(s)
+    assert sorted(sa.tolist()) == list(range(len(s)))
+    lst = s.tolist()
+    for i in range(len(sa) - 1):
+        assert lst[sa[i] :] <= lst[sa[i + 1] :]
+
+
+def test_minhash_estimates_jaccard():
+    """128-perm MinHash agreement concentrates around true Jaccard."""
+    from fuzzy_matcher_spark.functions.minhash import _perm_coeffs, _P, _MASK32
+
+    rng = np.random.RandomState(3)
+    a32, b32 = _perm_coeffs(128, 42)
+
+    def sig(items):
+        x = np.asarray(sorted(items), dtype=np.uint64) & _MASK32
+        return ((a32[:, None] * x[None, :] + b32[:, None]) % _P).min(axis=1)
+
+    base = set(rng.randint(0, 1 << 31, 400).tolist())
+    drop = set(list(base)[:80])
+    other = base - drop | set(rng.randint(0, 1 << 31, 80).tolist())
+    true_j = len(base & other) / len(base | other)
+    est = float((sig(base) == sig(other)).mean())
+    assert abs(est - true_j) < 0.12
