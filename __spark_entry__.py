@@ -540,10 +540,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dup_pairs": """
             SELECT a, b FROM (
-              SELECT doc_id AS a,
-                     lead(doc_id) OVER (PARTITION BY text ORDER BY doc_id) AS b
+              SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
               FROM documents)
-            WHERE b IS NOT NULL
+            WHERE a <> b
         """,
         "token_stats": f"""
             SELECT doc_id,

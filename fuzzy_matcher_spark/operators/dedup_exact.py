@@ -35,11 +35,12 @@ def exact_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Chain pairs (a, b) linking byte-identical docs — O(n) per family."""
+    """Star pairs (min_id, id) linking byte-identical docs — O(n) per
+    family and diameter 2 (CC converges in O(1) rounds)."""
     keyed = exact_key(df, text_col).select(id_col, "_ek")
-    w = Window.partitionBy("_ek").orderBy(id_col)
+    hub = F.min(id_col).over(Window.partitionBy("_ek"))
     return (
-        keyed.withColumn("_nxt", F.lead(id_col).over(w))
-        .where(F.col("_nxt").isNotNull())
-        .select(F.col(id_col).alias("a"), F.col("_nxt").alias("b"))
+        keyed.withColumn("_hub", hub)
+        .where(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
     )

@@ -28,12 +28,15 @@ def capped_self_join_pairs(
     y = small.select(*bucket_keys, F.col(id_col).alias("b"))
     pairs_small = x.join(y, bucket_keys).where(F.col("a") < F.col("b"))
 
+    # oversized buckets: star pairs (hub = min id) — linear like a
+    # chain but diameter 2, so connected components converges in O(1)
+    # rounds instead of O(log bucket_size)
     big = counted.where(F.col("_bn") > cap)
-    wo = Window.partitionBy(*bucket_keys).orderBy(id_col)
+    hub = F.min(id_col).over(Window.partitionBy(*bucket_keys))
     pairs_big = (
-        big.withColumn("_nxt", F.lead(id_col).over(wo))
-        .where(F.col("_nxt").isNotNull())
-        .select(F.col(id_col).alias("a"), F.col("_nxt").alias("b"))
+        big.withColumn("_hub", hub)
+        .where(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
     )
 
     return pairs_small.select("a", "b").union(pairs_big).distinct()

@@ -103,13 +103,13 @@ def test_exact_clusters(spark, pages):
         assert c == min(members)
 
 
-def test_exact_pairs_chain(spark):
+def test_exact_pairs_star(spark):
     df = spark.createDataFrame(
         [(i, "same") for i in range(5)] + [(10, "other")],
         "doc_id long, text string",
     )
     got = sorted((r.a, r.b) for r in exact_pairs(df, "text", "doc_id").collect())
-    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert got == [(0, 1), (0, 2), (0, 3), (0, 4)]
 
 
 def test_dup_pair_recall_vs_oracle(spark, pages):
