@@ -79,13 +79,14 @@ def run_suite(master: str, shuffle: int | None = None):
         F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
     ).collect()
     suite["exact_dedup_docs"](spark)
-    # best-of-2: the first execution of each distinct plan shape pays
-    # one-time codegen/planning cost (~2x); the second run is the
-    # steady-state number a long-running cluster job actually sees
+    # best-of-3: the first execution of each distinct plan shape pays
+    # one-time codegen/planning cost (~2x), and this sandbox shows
+    # multi-tenant host jitter — min of three is the steady-state
+    # number a long-running cluster job actually sees
     timings, rows = {}, {}
     for name, fn in suite.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows[name] = fn(spark)
             best = min(best, time.perf_counter() - t0)
@@ -142,9 +143,67 @@ def run_scaling(n_docs: int = 40000, words: int = 150):
     print(json.dumps(out))
 
 
+def run_micro():
+    """Kernel micro-benchmarks mirroring the reference's Go harnesses
+    (distance_calculator_test.go:716-736, example_members_test.go:
+    458-497, ocr_multichar_test.go:242-292)."""
+    from fuzzy_matcher_spark.functions.similarity import (
+        jaro_winkler,
+        levenshtein_sim,
+        trie_edit_distance,
+    )
+
+    def rate(fn, *args, seconds=1.0):
+        n, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            for _ in range(1000):
+                fn(*args)
+            n += 1000
+        return round(n / (time.perf_counter() - t0))
+
+    out = {
+        "jw_john_jon_per_sec": rate(jaro_winkler, "john", "jon"),
+        "lev_hello_hallo_per_sec": rate(levenshtein_sim, "hello", "hallo"),
+        "trie_edits_ocr_on_per_sec": rate(
+            trie_edit_distance, "srnithsrnithsrnith", "smithsmithsmith", True
+        ),
+        "trie_edits_ocr_off_per_sec": rate(
+            trie_edit_distance, "srnithsrnithsrnith", "smithsmithsmith", False
+        ),
+    }
+
+    # end-to-end probe workload: 20-member roster, repeated probes
+    from fuzzy_matcher_spark.config import example_member_config
+    from fuzzy_matcher_spark.operators.matcher import search
+    from fuzzy_matcher_spark.session import get_spark
+    from fuzzy_matcher_spark.sources.members import (
+        members_df,
+        probe_validity_col,
+        probes_df,
+    )
+
+    spark = get_spark(app_name="bench-micro", master=f"local[{CPUS}]")
+    cfg = example_member_config()
+    base = members_df(spark, cfg)
+    n_probes = 2000
+    probes = probes_df(
+        spark, [(i, "John", "Smith", "1990-05-15") for i in range(n_probes)]
+    )
+    search(base, probes, cfg, is_valid_col=probe_validity_col()).count()  # warm
+    t0 = time.perf_counter()
+    search(base, probes, cfg, is_valid_col=probe_validity_col()).count()
+    wall = time.perf_counter() - t0
+    out["member_search_probes_per_sec"] = round(n_probes / wall, 1)
+    spark.stop()
+    print(json.dumps(out))
+
+
 def main():
     if "--scaling" in sys.argv:
         run_scaling()
+        return
+    if "--micro" in sys.argv:
+        run_micro()
         return
 
     timings, _, n_docs = run_suite(f"local[{CPUS}]")

@@ -249,18 +249,30 @@ def trie_edit_distance(query: str, stored: str, ocr: bool = False) -> int:
 # pandas UDF wrappers (Arrow-batched; no row-at-a-time Python UDFs)
 # ---------------------------------------------------------------------------
 
+# These kernels are deterministic; the asNondeterministic flag only
+# stops Catalyst's predicate pushdown from duplicating the UDF into
+# both a threshold Filter and the scoring Project (explain() showed
+# two ArrowEvalPython nodes running the same kernel otherwise).
+
+
 @F.pandas_udf(T.DoubleType())
-def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )
 
 
+jaro_winkler_udf = _jaro_winkler_udf.asNondeterministic()
+
+
 @F.pandas_udf(T.DoubleType())
-def levenshtein_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+def _levenshtein_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [levenshtein_sim(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
     )
+
+
+levenshtein_sim_udf = _levenshtein_sim_udf.asNondeterministic()
 
 
 def similarity_udf(method: str) -> Callable[..., Column]:
@@ -287,4 +299,4 @@ def trie_edits_udf(ocr: bool) -> Callable[..., Column]:
                 dtype="int32",
             )
 
-    return _udf
+    return _udf.asNondeterministic()

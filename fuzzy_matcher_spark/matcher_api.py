@@ -1,0 +1,116 @@
+"""Public facade — API parity with the reference's FuzzyMatcher
+(/root/reference/fuzzy_matcher.go:16-36: Init, InsertEntries, Search,
+RemoveEntries), DataFrame-native and optionally TableIO-persistent.
+
+A reference user maps their calls 1:1:
+
+    m = FuzzyMatcher(config, spark)                 # Init
+    m.insert_entries(df, extraction={...})          # InsertEntries/Build
+    hits = m.search(probe_df, is_valid_col=...)     # Search (Clean+SearchFuzzy)
+    m.remove_entries(ids_df)                        # RemoveEntries
+
+Incremental insert visibility is immediate (the reference builds into
+a live trie, fuzzy_matcher_core.go:59-106; here inserts union into the
+base relation / append a TableIO snapshot). Expiry cleanup is a
+read-time predicate applied at search, matching the lazy Clean()
+semantics (clean.go:29-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fuzzy_matcher_spark.config import MatchConfig
+from fuzzy_matcher_spark.operators.matcher import prepare, remove_entries, search
+from fuzzy_matcher_spark.sources.tableio import TableIO
+
+BASE_TABLE = "matcher_base"
+
+
+class FuzzyMatcher:
+    def __init__(
+        self,
+        config: MatchConfig,
+        spark: SparkSession,
+        io: TableIO | None = None,
+        id_col: str = "id",
+    ):
+        config.validate()
+        self.config = config
+        self.spark = spark
+        self.io = io
+        self.id_col = id_col
+        self._base: DataFrame | None = None
+        if io is not None and io.exists(BASE_TABLE):
+            self._base = io.read(BASE_TABLE)
+
+    # -- load path (O2/O13) --------------------------------------------------
+    def insert_entries(
+        self, df: DataFrame, extraction: dict[str, Column] | None = None
+    ) -> "FuzzyMatcher":
+        """No-op on empty input (fuzzy_matcher.go:21-23); re-entrant
+        append otherwise. Expiry column (if configured) must be present
+        (Build errors on missing expiry, fuzzy_matcher_core.go:86-88)."""
+        if df.isEmpty():
+            return self
+        if self.config.core.use_expiration and "expiry" not in df.columns:
+            raise ValueError(
+                "use_expiration=True: entries must carry an 'expiry' column"
+            )
+        prepared = prepare(df, self.config, extraction)
+        if self._base is None:
+            self._base = prepared
+        else:
+            self._base = self._base.unionByName(prepared, allowMissingColumns=True)
+        if self.io is not None:
+            self.io.write(prepared, BASE_TABLE, mode="append")
+        return self
+
+    # -- probe path (O4/O13) ---------------------------------------------------
+    def search(
+        self,
+        probes: DataFrame,
+        probe_id_col: str = "probe_id",
+        extraction: dict[str, Column] | None = None,
+        is_valid_col: Column | None = None,
+        as_of: Column | None = None,
+    ) -> DataFrame:
+        if self._base is None:
+            return self.spark.createDataFrame(
+                [], f"{probe_id_col} long, {self.id_col} long, score double, rank int"
+            )
+        prepared = prepare(probes, self.config, extraction)
+        return search(
+            self._base,
+            prepared,
+            self.config,
+            id_col=self.id_col,
+            probe_id_col=probe_id_col,
+            is_valid_col=is_valid_col,
+            as_of=as_of if as_of is not None else F.current_timestamp(),
+        )
+
+    # -- delete path (O12) ------------------------------------------------------
+    def remove_entries(self, ids: DataFrame) -> "FuzzyMatcher":
+        if self._base is None:
+            return self
+        self._base = remove_entries(self._base, ids, self.id_col)
+        if self.io is not None:
+            vals = [r[0] for r in ids.collect()]
+            if vals:
+                pred = f"{self.id_col} IN ({','.join(str(v) for v in vals)})"
+                self.io.delete_where(BASE_TABLE, pred)
+        return self
+
+    # -- maintenance (O11) -------------------------------------------------------
+    def clean_expired(self, as_of: Column | None = None) -> "FuzzyMatcher":
+        """Eager TTL maintenance (the reference cleans lazily per search;
+        search() here already filters at read time — this physically
+        removes expired rows, like Iceberg DELETE WHERE)."""
+        if self._base is not None and self.config.core.use_expiration:
+            cut = as_of if as_of is not None else F.current_timestamp()
+            self._base = self._base.where(F.col("expiry") > cut)
+            if self.io is not None:
+                self.io.write(self._base, BASE_TABLE, mode="overwrite")
+        return self

@@ -53,7 +53,7 @@ from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
 
 
 @F.pandas_udf(T.DoubleType())
-def jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
     """Exact Jaccard over two arrays of shingle hashes (sets)."""
     for a, b in it:
         out = np.zeros(len(a), dtype=np.float64)
@@ -68,6 +68,13 @@ def jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series
             inter = len(np.intersect1d(sx, sy, assume_unique=True))
             out[i] = inter / (len(sx) + len(sy) - inter)
         yield pd.Series(out)
+
+
+# marked non-deterministic on purpose: it IS deterministic, but the
+# flag stops PushPredicateThroughProject from duplicating the UDF into
+# both the threshold Filter and the output Project (observed via
+# explain(): two ArrowEvalPython nodes running the same kernel)
+jaccard_udf = _jaccard_udf.asNondeterministic()
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:

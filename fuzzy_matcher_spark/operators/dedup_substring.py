@@ -119,7 +119,8 @@ def lcs_len_udf(ngram: int):
                 [lcs(x or "", y or "") for x, y in zip(a, b)], dtype="int32"
             )
 
-    return _udf
+    # deterministic kernel; flag blocks Filter/Project UDF duplication
+    return _udf.asNondeterministic()
 
 
 def substring_candidates(
