@@ -347,6 +347,16 @@ def q_substring_pairs(spark, sf):
     return substring_verify(substring_candidates(docs, cfg), docs, cfg)
 
 
+def q_suffix_array_pairs(spark, sf):
+    """Generalized suffix-array engine (same predicate as
+    substring_pairs; anchor-bucketed SA instead of pairwise LCS)."""
+    from fuzzy_matcher_spark.operators.suffix_array import suffix_substring_pairs
+
+    return suffix_substring_pairs(
+        _t(spark, sf, "documents"), DedupConfig(min_substring=60)
+    )
+
+
 def q_ngram_dup_clusters(spark, sf):
     from fuzzy_matcher_spark.operators.dedup_ngram import ngram_dedup
 
@@ -434,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
+        "suffix_array_pairs": q_suffix_array_pairs,
         "ngram_dup_clusters": q_ngram_dup_clusters,
         "media_features": q_media_features,
         "lsh_ann_topk": q_lsh_ann_topk,

@@ -75,16 +75,18 @@ def _field_candidates(
     ocr: bool,
     id_col: str,
     probe_id_col: str,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """(probe_id, id, edits) for one field. base/probes carry the
     normalized field as column `_n`."""
+    bc = F.broadcast if broadcast_probes else (lambda df: df)
     b = base.select(F.col(id_col), F.col(f"_n_{field}").alias("_bn"))
     p = probes.select(
         F.col(probe_id_col), F.col(f"_n_{field}").alias("_pn"), "_is_valid"
     )
 
     exact = b.join(
-        F.broadcast(p.select(probe_id_col, "_pn")), F.col("_bn") == F.col("_pn")
+        bc(p.select(probe_id_col, "_pn")), F.col("_bn") == F.col("_pn")
     ).select(probe_id_col, id_col, F.lit(0).alias("edits"))
     if max_edits <= 0:
         return exact
@@ -98,7 +100,7 @@ def _field_candidates(
         id_col, "_bn", F.explode(_block_keys(F.col("_bn"))).alias("_k")
     )
     cand = (
-        bk.join(F.broadcast(pk), "_k")
+        bk.join(bc(pk), "_k")
         .dropDuplicates([probe_id_col, id_col])
         .withColumn("edits", trie_edits_udf(ocr)("_pn", "_bn"))
         .where(F.col("edits") <= F.lit(max_edits))
@@ -133,6 +135,7 @@ def search(
     is_valid_col: Column | None = None,
     as_of: Column | None = None,
     expiry_col: str = "expiry",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Top-k matches per probe: (probe_id, id, score, rank).
 
@@ -141,6 +144,9 @@ def search(
     PROBE row (reference evaluates GetSearchParameters on the query,
     example_source.go:20-53); default: always valid.
     ``as_of`` enables TTL expiry (O11) as a read-time predicate.
+    ``broadcast_probes=False`` switches the blocking joins to shuffled
+    joins for probe workloads too large to broadcast (pair with
+    operators.pairs.salted_join if the block-key histogram is hot).
     """
     cfg.validate()
     if cfg.core.use_expiration and as_of is not None:
@@ -163,6 +169,7 @@ def search(
                 cfg.core.correct_ocr_misreads,
                 id_col,
                 probe_id_col,
+                broadcast_probes,
             ).select(
                 probe_id_col, id_col, F.lit(f).alias("field"), "edits"
             )
@@ -197,7 +204,9 @@ def search(
         F.col(probe_id_col),
         *[F.col(f"_n_{f}").alias(f"_pn_{f}") for f in cfg.fields],
     )
-    v = merged.join(F.broadcast(p_vals), probe_id_col).join(b_vals, id_col)
+    v = merged.join(
+        F.broadcast(p_vals) if broadcast_probes else p_vals, probe_id_col
+    ).join(b_vals, id_col)
 
     reject = F.lit(False)
     score = F.lit(0.0)

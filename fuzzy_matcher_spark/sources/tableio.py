@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 class TableIO:
     def read(self, table: str) -> DataFrame: ...
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None: ...
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None: ...
     def delete_where(self, table: str, predicate: str) -> None: ...
     def exists(self, table: str) -> bool: ...
     def snapshots(self, table: str) -> list[dict]: ...
@@ -80,12 +86,23 @@ class ParquetTableIO(TableIO):
         live = [s["path"] for s in snaps if s["live"]]
         return self.spark.read.parquet(*live)
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
         assert mode in ("overwrite", "append")
         m = self._load_manifest(table)
         snap_id = len(m["snapshots"])
         path = os.path.join(self._dir(table), f"snap-{snap_id:05d}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style partition dirs -> partition pruning on read
+            # (Iceberg backend uses hidden partitioning instead)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         if mode == "overwrite":
             for s in m["snapshots"]:
                 s["live"] = False
@@ -119,8 +136,16 @@ class IcebergTableIO(TableIO):
     def read(self, table: str) -> DataFrame:
         return self.spark.table(self._fq(table))
 
-    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
         writer = df.writeTo(self._fq(table))
+        if partition_by:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
             writer.append()
         else:

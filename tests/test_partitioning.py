@@ -1,0 +1,44 @@
+"""Partitioned TableIO writes + non-broadcast matcher path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from fuzzy_matcher_spark.config import example_member_config
+from fuzzy_matcher_spark.operators.matcher import search
+from fuzzy_matcher_spark.sources.members import (
+    members_df,
+    probe_validity_col,
+    probes_df,
+)
+from fuzzy_matcher_spark.sources.tableio import ParquetTableIO
+from fuzzy_matcher_spark.sources.webpages import webpages_df
+
+
+def test_tableio_partitioned_write_prunes(spark, tmp_path):
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    pages = webpages_df(spark, n_families=5, singletons=5, seed=4)
+    io.write(pages, "pages", partition_by=["lang"])
+
+    snap = io.snapshots("pages")[0]["path"]
+    assert any(d.startswith("lang=") for d in os.listdir(snap))
+
+    got = io.read("pages").where(F.col("lang") == "en")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan or "lang#" in plan
+    assert got.count() == pages.where("lang = 'en'").count()
+
+
+def test_search_without_probe_broadcast_matches(spark):
+    cfg = example_member_config()
+    base = members_df(spark, cfg)
+    probes = probes_df(
+        spark,
+        [(0, "Jon", "Smith", "1990-05-15"), (1, "Mike", "Brown", "1992-08-22")],
+    )
+    a = search(base, probes, cfg, is_valid_col=probe_validity_col())
+    b = search(
+        base, probes, cfg, is_valid_col=probe_validity_col(),
+        broadcast_probes=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
