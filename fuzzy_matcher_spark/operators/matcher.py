@@ -122,7 +122,10 @@ def prepare(
     out = df
     for f in cfg.fields:
         src = (extraction or {}).get(f, F.col(f))
-        out = out.withColumn(f"_n_{f}", normalize_col(src))
+        # Go strings have no null: a missing value is the empty string,
+        # which the reference stores/queries as "<field>:" — coalesce
+        # keeps that semantic (empty matches empty exactly)
+        out = out.withColumn(f"_n_{f}", F.coalesce(normalize_col(src), F.lit("")))
     return out
 
 

@@ -42,3 +42,38 @@ def test_search_without_probe_broadcast_matches(spark):
         broadcast_probes=False,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_null_text_dedup(spark):
+    """NULL texts co-cluster as identical-missing; distinct from ''."""
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_minhash import minhash_dedup
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "some real text here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in minhash_dedup(df, DedupConfig(shingle_size=3)).collect()}
+    assert got[0] == got[2]
+    assert len({got[0], got[1], got[3]}) == 3
+
+
+def test_null_field_matcher(spark):
+    """NULL probe/base fields behave as empty strings (Go semantics):
+    required empty field matches only empty; otherwise rejected."""
+    from fuzzy_matcher_spark.config import example_member_config
+    from fuzzy_matcher_spark.operators.matcher import prepare, search
+
+    cfg = example_member_config()
+    base = prepare(spark.createDataFrame(
+        [(1, "John", None, "19900515"), (2, "John", "Smith", "19900515")],
+        "id long, firstname string, surname string, birthdate string"), cfg)
+    probes = prepare(spark.createDataFrame(
+        [(0, "John", None, "19900515")],
+        "probe_id long, firstname string, surname string, birthdate string"), cfg)
+    got = search(base, probes, cfg).collect()
+    ids = {r.id for r in got}
+    # surname is required (min 0.9): JW("","") = 0 < 0.9 rejects the
+    # null-surname member; Smith fails against the empty probe too
+    assert ids == set(), got
