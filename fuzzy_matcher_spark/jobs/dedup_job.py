@@ -41,9 +41,15 @@ def main(argv: list[str] | None = None) -> int:
     from fuzzy_matcher_spark.plans.pipeline import DedupPipeline
     from fuzzy_matcher_spark.sources.tableio import get_tableio
 
-    spark = SparkSession.builder.appName(
-        f"dedup-{args.run_id}"
-    ).getOrCreate()
+    spark = (
+        SparkSession.builder.appName(f"dedup-{args.run_id}")
+        # signature tables carry wide array<long> columns: the default
+        # 4096-row vectorized batches OOM small heaps (seen at 200k docs
+        # with a 1g driver); smaller batches keep reader memory bounded
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .getOrCreate()
+    )
 
     docs = (
         spark.read.parquet(args.input)

@@ -102,12 +102,19 @@ class DedupPipeline:
         return {r.stage: r.config_json for r in rows}
 
     def _record(self, run_id: str, stage: str, df: DataFrame, wall: float) -> int:
+        import uuid
+
+        # attempt id distinguishes a rebuild (e.g. after checkpoint
+        # corruption) from the original write — counting without it
+        # double-counts stale lineage rows from the failed attempt
+        attempt = uuid.uuid4().hex
         lineage = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count(F.lit(1)).alias("rows"))
             .select(
                 F.lit(run_id).alias("run_id"),
                 F.lit(stage).alias("stage"),
+                F.lit(attempt).alias("attempt"),
                 "partition_id",
                 "rows",
             )
@@ -117,7 +124,11 @@ class DedupPipeline:
         # what was actually written, not what the plan promised
         n = int(
             self.io.read(LINEAGE_TABLE)
-            .where((F.col("run_id") == run_id) & (F.col("stage") == stage))
+            .where(
+                (F.col("run_id") == run_id)
+                & (F.col("stage") == stage)
+                & (F.col("attempt") == attempt)
+            )
             .agg(F.coalesce(F.sum("rows"), F.lit(0)))
             .collect()[0][0]
         )
@@ -156,9 +167,18 @@ class DedupPipeline:
                     f"run {run_id} stage {stage} was built with a different "
                     "config; use a new run_id"
                 )
-            out = self.io.read(tname)
-            report.stages.append(StageResult(stage, -1, 0.0, skipped=True))
-            return out
+            # validate the checkpoint is actually readable — a killed
+            # writer can leave a committed-looking but truncated table.
+            # count() touches every parquet footer (metadata-only, no
+            # row scan) and fails on any truncated part; fall through
+            # and rebuild instead of failing mid-resume.
+            try:
+                out = self.io.read(tname)
+                n = out.count()
+                report.stages.append(StageResult(stage, n, 0.0, skipped=True))
+                return out
+            except Exception:
+                pass  # rebuild below
         t0 = time.perf_counter()
         df = build()
         self.io.write(df, tname, mode="overwrite")

@@ -29,6 +29,7 @@ fi
 
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${DRIVER_MEMORY:-8g}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.adaptive.skewJoin.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \

@@ -117,3 +117,31 @@ def test_pipeline_simhash_mode(spark, io):
         for b in texts:
             if a < b and texts[a] == texts[b]:
                 assert cl[a] == cl[b]
+
+
+def test_pipeline_rebuilds_corrupt_checkpoint(spark, io):
+    """A truncated part file in a completed stage is detected at resume
+    (parquet footer validation) and the stage is rebuilt with exact,
+    attempt-scoped row counts."""
+    import glob
+    import json
+    import os
+
+    pages = webpages_df(spark, n_families=8, singletons=8, seed=12)
+    pipe = DedupPipeline(spark, io, CFG)
+    _, rep1 = pipe.run(pages, run_id="r9")
+    pairs_rows = {s.stage: s.rows for s in rep1.stages}["pairs"]
+
+    # truncate a part file in the LIVE pairs snapshot
+    manifest = json.load(open(os.path.join(io.root, "r9__pairs/_manifest.json")))
+    live = [s["path"] for s in manifest["snapshots"] if s["live"]][0]
+    part = glob.glob(os.path.join(live, "part-*.parquet"))[0]
+    with open(part, "r+b") as f:
+        f.truncate(64)
+
+    clusters, rep2 = pipe.run(pages, run_id="r9")
+    by_stage = {s.stage: s for s in rep2.stages}
+    assert by_stage["ingest"].skipped and by_stage["signatures"].skipped
+    assert not by_stage["pairs"].skipped, "corrupt stage must rebuild"
+    assert by_stage["pairs"].rows == pairs_rows, "attempt-scoped count"
+    assert clusters.count() == pages.count()
