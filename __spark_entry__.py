@@ -288,6 +288,21 @@ def q_events_sessions(spark, sf):
     )
 
 
+def q_events_json_props(spark, sf):
+    """JSON extraction (from_json) + aggregation over events.props."""
+    e = _t(spark, sf, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 def q_matcher_exact_search(spark, sf):
     """Matcher with all-zero budgets (exact-only path, O14 invalid-probe
     semantics): probe = every 100th customer against the full corpus."""
@@ -437,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "events_sessions": q_events_sessions,
+        "events_json_props": q_events_json_props,
         "matcher_exact_search": q_matcher_exact_search,
         "matcher_fuzzy_search": q_matcher_fuzzy_search,
         "minhash_band_index": q_minhash_band_index,
@@ -619,6 +635,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "events_json_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                     AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+                     AS max_k
+            FROM events GROUP BY event_type
         """,
         "matcher_exact_search": """
             WITH nb AS (
