@@ -40,7 +40,14 @@ def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_udf(num_perm: int, seed: int):
-    """pandas UDF: array<long> shingle hashes -> array<long> signature."""
+    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+
+    Per-document numpy (a 128 x k broadcast + row-min). A fully
+    batch-vectorized variant (concat + minimum.reduceat over the whole
+    Arrow chunk) was measured 26x SLOWER — transposed reduceat and
+    minimum.at thrash caches; per-doc ops on ~150-element arrays are
+    already numpy-efficient (~7.5k docs/s/core at 150 shingles).
+    """
     a, b = _perm_coeffs(num_perm, seed)
     a_col = a[:, None]
     b_col = b[:, None]
