@@ -81,3 +81,28 @@ def test_minhash_estimates_jaccard():
     true_j = len(base & other) / len(base | other)
     est = float((sig(base) == sig(other)).mean())
     assert abs(est - true_j) < 0.12
+
+
+@given(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_pigeonhole(base_fp, flip_bits):
+    """Any pair within Hamming distance tables-1 (=3 flips at 4 tables)
+    shares at least one full 16-bit slice — the candidate-generation
+    guarantee of operators/dedup_simhash.py."""
+    other = base_fp
+    for b in flip_bits:
+        other ^= 1 << b
+        if other >= 2**63:
+            other -= 2**64
+    tables, width = 4, 16
+    mask = (1 << width) - 1
+
+    def slices(fp):
+        u = fp & (2**64 - 1)
+        return [(u >> (t * width)) & mask for t in range(tables)]
+
+    sa, sb = slices(base_fp), slices(other)
+    assert any(x == y for x, y in zip(sa, sb))
