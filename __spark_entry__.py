@@ -273,19 +273,18 @@ def q_embedding_dup_pairs(spark, sf):
 
 def q_events_sessions(spark, sf):
     """Sessionization: 30-minute inactivity gap splits sessions."""
-    from pyspark.sql import Window
+    from fuzzy_matcher_spark.operators.sessions import session_stats
 
-    e = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    marked = e.withColumn(
-        "new_sess",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    return session_stats(_t(spark, sf, "events"))
+
+
+def q_dedup_dropped(spark, sf):
+    """Set difference: docs removed by exact dedup (all minus kept)."""
+    docs = _t(spark, sf, "documents")
+    kept = exact_clusters(docs, "text", "doc_id").select(
+        F.col("cluster_id").alias("doc_id")
     )
-    return (
-        marked.groupBy("user_id")
-        .agg(F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
-    )
+    return docs.select("doc_id").exceptAll(kept.distinct())
 
 
 def q_events_json_props(spark, sf):
@@ -453,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
+        "dedup_dropped": q_dedup_dropped,
         "matcher_exact_search": q_matcher_exact_search,
         "matcher_fuzzy_search": q_matcher_fuzzy_search,
         "minhash_band_index": q_minhash_band_index,
@@ -635,6 +635,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "dedup_dropped": """
+            SELECT doc_id FROM documents
+            EXCEPT
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "events_json_props": """
             SELECT event_type, count(*) AS n,
