@@ -378,7 +378,13 @@ def q_ngram_dup_clusters(spark, sf):
 
 
 def q_media_features(spark, sf):
-    """Multimodal plumbing: documents' bytes as opaque media content."""
+    """Multimodal plumbing: documents' bytes as opaque media content.
+
+    The raw ``feature array<float>`` is projected to a scalar digest
+    (xxhash64 over the rounded components) so the driver's pandas
+    canonicalizer — which sorts column values — never sees an
+    unhashable list column.
+    """
     from fuzzy_matcher_spark.operators.multimodal import extract_features
 
     media = _t(spark, sf, "documents").select(
@@ -387,7 +393,15 @@ def q_media_features(spark, sf):
         F.col("text").cast("binary").alias("content"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
-    return extract_features(media, deterministic_fake=True)
+    feats = extract_features(media, deterministic_fake=True)
+    digest = F.xxhash64(
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.round(x.cast("double"), 5).cast("string"))
+        )
+    )
+    return feats.select(
+        "media_id", "kind", "n_bytes", digest.alias("feature_digest")
+    )
 
 def q_minhash_band_index(spark, sf):
     sig = add_signatures(_t(spark, sf, "documents"), DEDUP_CFG)
@@ -633,7 +647,8 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY ts, event_id), ts) > 1800
                           THEN 1 ELSE 0 END AS new_sess
               FROM events)
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
             FROM g GROUP BY user_id
         """,
         "dedup_dropped": """
