@@ -326,6 +326,55 @@ def q_matcher_exact_search(spark, sf):
 # --- rows-only (not SQL-expressible: minhash/simhash/CC/LSH) ---
 
 
+def q_matcher_lev_search(spark, sf):
+    """Fuzzy matcher with the levenshtein kernel — fully SQL-expressible,
+    so the DuckDB oracle computes the *exact corpus-wide* answer and a
+    hash-match also hard-proves blocking recall (any pair the blocking
+    dropped would make Spark miss a row the oracle has).
+
+    Config choice makes the edit gate non-binding: names normalize to 17
+    chars, so score >= 0.85 implies levenshtein <= 2 and trie-edits <=
+    levenshtein <= max_edits=3 — the match set is exactly
+    {pairs: lev_sim >= 0.85}, reference decision order
+    (fuzzy_matcher_core.go:220-290)."""
+    from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
+    from fuzzy_matcher_spark.operators.matcher import prepare, search
+
+    cfg = MatchConfig(
+        fields={"c_name": FieldParams(4, 3, 1.0, "levenshtein", 0.85)},
+        core=CoreParams(max_edits=3),
+    )
+    cust = _t(spark, sf, "customer")
+    base = prepare(cust.select(F.col("c_custkey").alias("id"), "c_name"), cfg)
+    probes = prepare(
+        cust.where(F.col("c_custkey") % 100 == 3).select(
+            F.col("c_custkey").alias("probe_id"),
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name)-1)"), F.lit("x")
+            ).alias("c_name"),
+        ),
+        cfg,
+    )
+    return search(base, probes, cfg, probe_id_col="probe_id")
+
+
+def q_lev_pairs_clusters(spark, sf):
+    """Connected components over the (hash-matching) lev_pairs_parts
+    edge set — oracled by DuckDB recursive min-label propagation, the
+    cluster analog of candidate-merge (fuzzy_matcher_core.go:173-207)."""
+    from fuzzy_matcher_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = q_lev_pairs_parts(spark, sf).select(
+        F.col("a_key").alias("a"), F.col("b_key").alias("b")
+    )
+    return connected_components(edges).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_matcher_fuzzy_search(spark, sf):
     """Fuzzy matcher (JW verification, trie-edit budgets) over customer
     names with single-character corruptions."""
@@ -411,10 +460,15 @@ def q_minhash_band_index(spark, sf):
 
 
 def q_near_dup_pairs(spark, sf):
+    """LSH candidates + exact-Jaccard verify, oracled by a DuckDB
+    brute-force over all pairs. est_margin=1.0 disables the signature
+    prefilter so only banding recall and the exact verify are under
+    test (at sf0.01 the exact verify over all candidates is cheap; in
+    production the prefilter keeps its default margin)."""
     docs = _t(spark, sf, "documents")
     sig = add_signatures(docs, DEDUP_CFG).persist()
     cand = candidate_pairs(sig, DEDUP_CFG)
-    return verify_pairs(cand, sig, DEDUP_CFG, exact=True)
+    return verify_pairs(cand, sig, DEDUP_CFG, exact=True, est_margin=1.0)
 
 
 def q_near_dup_clusters(spark, sf):
@@ -441,8 +495,7 @@ def q_lsh_ann_topk(spark, sf):
     probes = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    dim = len(emb.select("embedding").first()[0])
-    return lsh_topk(emb, probes, k=3, dim=dim)
+    return lsh_topk(emb, probes, k=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -468,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "dedup_dropped": q_dedup_dropped,
         "matcher_exact_search": q_matcher_exact_search,
+        "matcher_lev_search": q_matcher_lev_search,
+        "lev_pairs_clusters": q_lev_pairs_clusters,
         "matcher_fuzzy_search": q_matcher_fuzzy_search,
         "minhash_band_index": q_minhash_band_index,
         "near_dup_pairs": q_near_dup_pairs,
@@ -693,4 +748,63 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "ann_topk": ann,
+        "near_dup_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 4
+                     THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+3], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+              FROM t WHERE len(toks) > 0
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) AS la, len(b.sh) AS lb
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT a, b, i / (la + lb - i) AS jaccard
+            FROM p WHERE i / (la + lb - i) >= 0.8
+        """,
+        "lev_pairs_clusters": """
+            WITH RECURSIVE e AS (
+              SELECT a.p_partkey AS u, b.p_partkey AS v
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+              WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ), ed AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+            reach(id, lbl) AS (
+              SELECT u, u FROM ed
+              UNION
+              SELECT ed.v, reach.lbl FROM reach JOIN ed ON ed.u = reach.id
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
+        "matcher_lev_search": """
+            WITH nb AS (
+              SELECT c_custkey,
+                     regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS nk
+              FROM customer),
+            pr AS (
+              SELECT c_custkey AS probe_id,
+                     regexp_replace(lower(substring(c_name, 1, length(c_name)-1)
+                                          || 'x'),
+                                    '[^a-z0-9]+', '', 'g') AS pk
+              FROM customer WHERE c_custkey % 100 = 3),
+            scored AS (
+              SELECT p.probe_id, b.c_custkey AS id,
+                     1.0 - levenshtein(p.pk, b.nk)
+                           / greatest(length(p.pk), length(b.nk)) AS score
+              FROM pr p CROSS JOIN nb b),
+            ranked AS (
+              SELECT probe_id, id, score,
+                     CAST(row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY score DESC, id) AS INT)
+                       AS rank
+              FROM scored WHERE score >= 0.85)
+            SELECT probe_id, id, score, rank FROM ranked WHERE rank <= 5
+        """,
     }

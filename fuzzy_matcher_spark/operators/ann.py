@@ -80,11 +80,26 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets_udf(dim: int, tables: int, bits: int, seed: int):
-    """pandas UDF: embedding -> array<long> of per-table bucket keys."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((tables * bits, dim)).astype(np.float32)
+def hyperplane_buckets_udf(dim: int | None, tables: int, bits: int, seed: int):
+    """pandas UDF: embedding -> array<long> of per-table bucket keys.
+
+    ``dim=None`` infers the dimension from the first Arrow batch on each
+    executor — the planes are regenerated from the same seed, so every
+    worker derives identical hyperplanes without any driver-side
+    materialization (no ``.first()`` on the plan)."""
     weights = (1 << np.arange(bits, dtype=np.int64))
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def planes_for(d: int) -> np.ndarray:
+        p = planes_cache.get(d)
+        if p is None:
+            rng = np.random.RandomState(seed)
+            p = rng.standard_normal((tables * bits, d)).astype(np.float32)
+            planes_cache[d] = p
+        return p
+
+    if dim is not None:
+        planes_for(dim)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -92,6 +107,7 @@ def hyperplane_buckets_udf(dim: int, tables: int, bits: int, seed: int):
             mat = np.stack(
                 [np.asarray(v, dtype=np.float32) for v in vecs]
             )  # (n, dim)
+            planes = planes_for(mat.shape[1])
             signs = (mat @ planes.T) > 0  # (n, tables*bits)
             keys = signs.reshape(len(mat), tables, bits) @ weights  # (n, tables)
             yield pd.Series(list(keys.astype(np.int64)))
@@ -103,7 +119,7 @@ def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
     k: int,
-    dim: int,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",

@@ -91,13 +91,27 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 def add_signatures(
     df: DataFrame, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingle_hashes, signature) — columns derived, text untouched."""
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        shingle_hashes_col(
-            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
-        ).alias("shingle_hashes"),
-    ).withColumn("signature", signature_col(F.col("shingle_hashes"), cfg))
+    """(id, shingle_hashes, signature) — columns derived, text untouched.
+
+    Docs whose text normalizes to zero tokens shingle to the sentinel
+    [''] — hashing it would collapse every byte-distinct punctuation /
+    whitespace-only doc into one near-dup cluster. They are excluded
+    here (= from the band index and verification), so downstream
+    clustering treats them as singletons."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size).alias(
+                "_sh"
+            ),
+        )
+        .where(~((F.size("_sh") == 1) & (F.trim(F.element_at("_sh", 1)) == "")))
+        .select(
+            F.col(id_col), shingle_hashes_col(F.col("_sh")).alias("shingle_hashes")
+        )
+        .withColumn("signature", signature_col(F.col("shingle_hashes"), cfg))
+    )
 
 
 def candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:

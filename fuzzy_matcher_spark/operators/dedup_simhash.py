@@ -31,13 +31,22 @@ def add_fingerprints(
 ) -> DataFrame:
     from fuzzy_matcher_spark.operators.dedup_minhash import ensure_parallelism
 
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        simhash64_udf(
-            shingle_hashes_col(
-                shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
-            )
-        ).alias("fingerprint"),
+    # zero-token docs shingle to the sentinel ['']; exclude them so
+    # byte-distinct punctuation-only docs stay singletons (same rule as
+    # dedup_minhash.add_signatures)
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size).alias(
+                "_sh"
+            ),
+        )
+        .where(~((F.size("_sh") == 1) & (F.trim(F.element_at("_sh", 1)) == "")))
+        .select(
+            F.col(id_col),
+            simhash64_udf(shingle_hashes_col(F.col("_sh"))).alias("fingerprint"),
+        )
     )
 
 
