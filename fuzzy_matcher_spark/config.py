@@ -33,6 +33,13 @@ class FieldParams:
 
     Reference: fuzzy_types/types.go:50-56 (maps keyed by Field);
     example values fuzzy_classes/example_source.go:20-81.
+
+    ``max_depth``: in the reference walk Depth increments exactly when
+    NumEdits does (recurse.go:91-161, breadth_first_search.go:67-73),
+    so the effective per-field edit budget is
+    ``min(max_edits, max_depth)`` — max_depth is a second edit cap,
+    not a completion-length cap (completions beyond the query end are
+    depth-free, bfs :62-73). Enforced in operators/matcher.search.
     """
 
     max_depth: int = 5
@@ -59,10 +66,29 @@ class MatchConfig:
     core: CoreParams = field(default_factory=CoreParams)
     top_k: int = 5  # fuzzy_matcher_core.go:285-287
 
+    # Candidate blocking strategy (operators/matcher.py):
+    # - "keys": prefix-1 + char-bigram + short-value fallback keys.
+    #   Provably complete w.r.t. the trie-edit budget (see matcher.py
+    #   blocking contract); right for probe-scale workloads.
+    # - "minhash": prefix-1 + char-bigram MinHash band keys + the same
+    #   short-value fallback. Probabilistic (recall tunable via
+    #   bands x rows, validated >= 0.99 by tests/test_matcher_recall),
+    #   bounded candidate volume; the web-scale path.
+    blocking: str = "keys"
+    block_bands: int = 12
+    block_rows: int = 1
+    block_seed: int = 7
+
     def validate(self) -> None:
         total_w = sum(f.weight for f in self.fields.values())
         if self.fields and abs(total_w - 1.0) > 1e-9:
             raise ValueError(f"field weights must sum to 1.0, got {total_w}")
+        if self.blocking not in ("keys", "minhash"):
+            raise ValueError(f"unknown blocking mode: {self.blocking!r}")
+        if self.blocking == "minhash" and (
+            self.block_bands < 1 or self.block_rows < 1
+        ):
+            raise ValueError("block_bands and block_rows must be >= 1")
 
     def as_dict(self) -> dict:
         return {

@@ -25,18 +25,37 @@ DataFrame operators:
   example_source.go:21-53)         -> is_valid probe column: invalid
                                       probes get exact-only budgets
 
-Blocking recall contract: any pair reachable by the trie within the
-edit budgets shares the first character or at least one character
-bigram of the normalized values (or is an exact match) — the generous
-union over-generates and verification decides, exactly the reference's
-generate-then-verify shape. At web scale the bigram block is replaced
-by MinHash bands over char n-grams (same code family as
-operators/dedup_minhash.py); bigrams keep tiny-probe workloads exact.
+Blocking recall contract ("keys" mode, provably complete): take k =
+the field's effective edit budget. Any path achieving trie_edit <= k
+fully consumes one side X; at most k of X's chars are touched by edit
+operations, so X's matched (diagonal, equal-both-sides) chars split
+into <= k+1 runs, and if len(X) >= 2k+2 the longest run has length
+>= 2 — a character bigram present in BOTH normalized values. Hence a
+pair within budget either (a) shares a bigram (covered by the 'g:'
+keys), or (b) has a side with length <= 2k+1, covered by the
+short-value fallback: short stored values emit 's:short' which every
+probe also emits, and short probes emit 'q:short' which every stored
+value also emits — making short probes an explicit, honest corpus
+scan (the reference trie pays the same: a budget >= the probe length
+walks every branch). Exact matches and free prefix completions have
+dedicated equi-join paths. A JVM levenshtein prefilter
+(lev <= 2k + |len delta|, a sound over-approximation of
+trie_edit <= k; 3k with OCR confusions enabled) cuts the volume
+reaching the Python DP by orders of magnitude.
+
+"minhash" mode replaces the bigram family with char-bigram MinHash
+band keys (pure JVM 31-bit modular hashing — no Python hop) for
+bounded candidate volume at web scale; the prefix/short/exact/
+completion families and the prefilter stay. Recall is probabilistic,
+tuned by (block_bands, block_rows) and validated >= 0.99 against the
+brute-force oracle in tests/test_matcher_recall.py for both modes.
 
 Probe side is assumed small relative to the corpus and is broadcast.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +64,8 @@ from fuzzy_matcher_spark.config import MatchConfig
 from fuzzy_matcher_spark.functions.normalize import normalize_col
 from fuzzy_matcher_spark.functions.similarity import similarity_udf, trie_edits_udf
 from fuzzy_matcher_spark.operators.topk import topk_per_group
+
+_MH_PRIME = 2147483659  # smallest prime > 2^31
 
 
 def _bigrams(col: Column) -> Column:
@@ -60,11 +81,58 @@ def _bigrams(col: Column) -> Column:
     )
 
 
-def _block_keys(col: Column) -> Column:
-    """prefix-1 ∪ bigrams, namespaced so key kinds never cross-match."""
+def _minhash_band_keys(col: Column, bands: int, rows: int, seed: int) -> Column:
+    """Char-bigram MinHash band keys as pure Catalyst expressions.
+
+    31-bit modular hashing keeps a*h + b < 2^62, exact in signed int64
+    under ANSI mode — no Python hop, unlike the document-scale MinHash
+    (functions/minhash.py) whose 128-perm signatures warrant the one
+    pandas UDF. Deterministic: coefficients derive from ``seed``.
+    """
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(bands * rows)
+    ]
+    hs = F.transform(
+        _bigrams(col), lambda g: F.pmod(F.xxhash64(g), F.lit(1 << 31))
+    )
+    mins = [
+        F.array_min(
+            F.transform(hs, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME)))
+        )
+        for a, b in coeffs
+    ]
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"m{band}:"),
+                F.xxhash64(*mins[band * rows : (band + 1) * rows]).cast("string"),
+            )
+            for band in range(bands)
+        ]
+    )
+
+
+def _block_keys(
+    col: Column, cfg: MatchConfig, max_edits: int, is_probe: bool
+) -> Column:
+    """Namespaced blocking keys (see module docstring contract)."""
+    if cfg.blocking == "minhash":
+        content = _minhash_band_keys(
+            col, cfg.block_bands, cfg.block_rows, cfg.block_seed
+        )
+    else:
+        content = F.transform(_bigrams(col), lambda g: F.concat(F.lit("g:"), g))
     prefix = F.concat(F.lit("p:"), F.substring(col, 1, 1))
-    grams = F.transform(_bigrams(col), lambda g: F.concat(F.lit("g:"), g))
-    return F.array_union(F.array(prefix), grams)
+    other_side_short = "s:short" if is_probe else "q:short"
+    keys = F.array_union(F.array(prefix, F.lit(other_side_short)), content)
+    own_short = "q:short" if is_probe else "s:short"
+    cutoff = 2 * max_edits + 1
+    return F.when(
+        F.length(col) <= cutoff,
+        F.array_union(keys, F.array(F.lit(own_short))),
+    ).otherwise(keys)
 
 
 def _field_candidates(
@@ -76,6 +144,7 @@ def _field_candidates(
     id_col: str,
     probe_id_col: str,
     broadcast_probes: bool = True,
+    cfg: MatchConfig | None = None,
 ) -> DataFrame:
     """(probe_id, id, edits) for one field. base/probes carry the
     normalized field as column `_n`."""
@@ -88,20 +157,61 @@ def _field_candidates(
     exact = b.join(
         bc(p.select(probe_id_col, "_pn")), F.col("_bn") == F.col("_pn")
     ).select(probe_id_col, id_col, F.lit(0).alias("edits"))
+
+    # free prefix completion (0 edits): the reference BFS completes any
+    # stored value extending the probe at zero cost — expansions beyond
+    # the word end increment neither edits nor depth
+    # (breadth_first_search.go:62-73, the 1/1 increments at :67-73 only
+    # apply while Index-1 < len(Word)) — and this happens even at
+    # all-zero budgets / for invalid probes, whose exact-prefix walk
+    # still reaches the word end and enters BFS
+    # (fuzzy_matcher_core.go:70-72 via recurse.go step 1). Empty probes
+    # are excluded: the reference would complete them to the entire
+    # trie, a deliberate semantic drop (documented, SURVEY §3.3 style).
+    # Prefix-1 equi-key keeps this a hash join, not a nested loop.
+    pall = p.where(F.length("_pn") > 0).select(probe_id_col, "_pn")
+    completion = (
+        b.where(F.length("_bn") > 0)
+        .withColumn("_k1", F.substring("_bn", 1, 1))
+        .join(
+            bc(pall.withColumn("_k1", F.substring("_pn", 1, 1))), "_k1"
+        )
+        .where(
+            F.col("_bn").startswith(F.col("_pn")) & (F.col("_bn") != F.col("_pn"))
+        )
+        .select(probe_id_col, id_col, F.lit(0).alias("edits"))
+    )
+    exact = exact.union(completion)
     if max_edits <= 0:
         return exact
 
     # fuzzy path: only valid probes carry non-zero budgets (O14)
+    cfg = cfg or MatchConfig()
     pv = p.where(F.col("_is_valid") & (F.length("_pn") > 0))
     pk = pv.select(
-        probe_id_col, "_pn", F.explode(_block_keys(F.col("_pn"))).alias("_k")
+        probe_id_col,
+        "_pn",
+        F.explode(_block_keys(F.col("_pn"), cfg, max_edits, True)).alias("_k"),
     )
     bk = b.where(F.length("_bn") > 0).select(
-        id_col, "_bn", F.explode(_block_keys(F.col("_bn"))).alias("_k")
+        id_col,
+        "_bn",
+        F.explode(_block_keys(F.col("_bn"), cfg, max_edits, False)).alias("_k"),
+    )
+    # JVM prefilter: trie_edit <= k implies levenshtein <= 2k + |len
+    # delta| (the free suffix accounts for the length delta; each
+    # budgeted edit maps to <= 2 unit edits), <= 3k + |delta| with
+    # multi-char OCR confusions ('m'->'rn' costs 1 in the trie walk, 2
+    # in levenshtein). Sound over-approximation — cuts the candidate
+    # volume reaching the Python DP without ever dropping a true pair.
+    mult = 3 if ocr else 2
+    lev_bound = F.lit(mult * max_edits) + F.abs(
+        F.length("_pn") - F.length("_bn")
     )
     cand = (
         bk.join(bc(pk), "_k")
         .dropDuplicates([probe_id_col, id_col])
+        .where(F.levenshtein("_pn", "_bn") <= lev_bound)
         .withColumn("edits", trie_edits_udf(ocr)("_pn", "_bn"))
         .where(F.col("edits") <= F.lit(max_edits))
         .select(probe_id_col, id_col, "edits")
@@ -160,7 +270,22 @@ def search(
         is_valid_col if is_valid_col is not None else F.lit(True),
     )
 
-    # per-field candidate generation (O4a) + per-field edit cap
+    # per-field candidate generation (O4a) + per-field edit cap.
+    #
+    # max_depth enforcement (O5/O6): in the reference walk Depth
+    # increments exactly when NumEdits does (recurse.go:91,107,129,161
+    # and breadth_first_search.go:67-73 pair DepthIncrement=1 with
+    # NumEditsIncrement=1 in every branch), so Depth == NumEdits along
+    # every path and the ProcessNode limit check (utils.go:43-45)
+    # makes the effective per-field budget min(MaxEdits, MaxDepth).
+    # Completions beyond the query end increment NEITHER (bfs :67-68
+    # run only when Index-1 < len(Word)), i.e. the free suffix is
+    # depth-free in the reference too — a suffix-length cap here would
+    # diverge from it. Not replicated: the emit-before-check overshoot
+    # (utils.go:28-44 emits an end-of-string match before testing the
+    # limits), which can admit edits == min(MaxEdits, MaxDepth) + 1
+    # only when the final edit itself lands on an end-of-string node;
+    # we take the conservative bound.
     parts = []
     for f, fp in cfg.fields.items():
         parts.append(
@@ -168,11 +293,12 @@ def search(
                 base,
                 probes,
                 f,
-                fp.max_edits,
+                min(fp.max_edits, fp.max_depth),
                 cfg.core.correct_ocr_misreads,
                 id_col,
                 probe_id_col,
                 broadcast_probes,
+                cfg,
             ).select(
                 probe_id_col, id_col, F.lit(f).alias("field"), "edits"
             )
@@ -222,8 +348,16 @@ def search(
         sim = F.when(sim_raw < F.lit(fp.min_distance), F.lit(0.0)).otherwise(sim_raw)
         if fp.min_distance > 0:
             # required: missing or below threshold => reject entry
-            # (fuzzy_matcher_core.go:228-233, :249-252)
-            reject = reject | (~present) | (sim < F.lit(fp.min_distance))
+            # (fuzzy_matcher_core.go:228-233, :249-252); an empty
+            # matched value also rejects (:231 matchVal == "" && min>0)
+            # — relevant for 'default'/'levenshtein' kernels whose
+            # empty-vs-empty similarity is 1.0
+            reject = (
+                reject
+                | (~present)
+                | (sim < F.lit(fp.min_distance))
+                | (F.length(F.col(f"_bn_{f}")) == 0)
+            )
             contrib = F.lit(fp.weight) * sim
         else:
             # optional: sim==0 is skipped from the score (:243-247)

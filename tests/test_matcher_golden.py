@@ -196,3 +196,79 @@ def test_ocr_scenarios(spark, query_first, target_first, ocr_on, expect):
     res = search(base, probes, cfg, is_valid_col=probe_validity_col()).collect()
     found = any(r.id == 1 for r in res)
     assert found == expect, (query_first, target_first, ocr_on, res)
+
+
+def test_max_depth_is_second_edit_cap(spark):
+    """Depth == NumEdits in the reference walk (recurse.go:91-161,
+    breadth_first_search.go:67-73 pair every DepthIncrement=1 with
+    NumEditsIncrement=1), so the effective per-field budget is
+    min(max_edits, max_depth): a 2-edit match survives max_depth=6
+    and dies at max_depth=1."""
+
+    def cfg_with_depth(d):
+        return MatchConfig(
+            fields={
+                "firstname": FieldParams(d, 6, 0.5, "jaro", 0.7),
+                "surname": FieldParams(6, 6, 0.5, "jaro", 0.7),
+            },
+            core=CoreParams(max_edits=6),
+        )
+
+    for depth, expect in [(6, True), (1, False)]:
+        cfg = cfg_with_depth(depth)
+        base = members_df(spark, cfg)
+        probes = probes_df(
+            spark, [(0, "Christxphxr", "Walker", "1987-04-02")], cfg
+        )
+        res = search(
+            base, probes, cfg, is_valid_col=probe_validity_col()
+        ).collect()
+        found = any(r.id == 19 for r in res)
+        assert found == expect, (depth, res)
+
+
+def test_free_completion_is_depth_free(spark):
+    """Completions beyond the query end cost neither edits nor depth
+    (breadth_first_search.go:62-73: the 1/1 increments only apply while
+    Index-1 < len(Word)), so 'Chris' -> 'christopher' (6 extra chars)
+    still matches at max_depth = max_edits = 0 — max_depth is NOT a
+    completion-length cap."""
+    cfg = MatchConfig(
+        fields={
+            "firstname": FieldParams(0, 0, 0.5, "jaro", 0.7),
+            "surname": FieldParams(0, 0, 0.5, "jaro", 0.7),
+        },
+        core=CoreParams(max_edits=6),
+    )
+    base = members_df(spark, cfg)
+    probes = probes_df(spark, [(0, "Chris", "Walker", "1987-04-02")], cfg)
+    res = search(base, probes, cfg, is_valid_col=probe_validity_col()).collect()
+    assert any(r.id == 19 for r in res), res
+
+
+def test_empty_required_field_rejects(spark):
+    """matchVal == '' with min_distance > 0 rejects the entry
+    (fuzzy_matcher_core.go:231) even though the default/levenshtein
+    kernels score empty-vs-empty as 1.0."""
+    cfg = MatchConfig(
+        fields={
+            "firstname": FieldParams(6, 6, 0.4, "jaro", 0.7),
+            "surname": FieldParams(2, 2, 0.3, "jaro", 0.9),
+            "birthdate": FieldParams(2, 2, 0.3, "default", 1.0),
+        },
+        core=CoreParams(max_edits=6),
+    )
+    # None birthdate: extraction's to_date(None) -> null, which prepare
+    # coalesces to the reference's empty-string semantics
+    base = members_df(spark, cfg, [(1, "John", "Smith", None)])
+    probes = probes_df(spark, [(0, "John", "Smith", None)], cfg)
+    res = search(base, probes, cfg, is_valid_col=probe_validity_col()).collect()
+    assert not res, res
+
+    # control: non-empty birthdates on both sides still match
+    base2 = members_df(spark, cfg, [(1, "John", "Smith", "1990-05-15")])
+    probes2 = probes_df(spark, [(0, "John", "Smith", "1990-05-15")], cfg)
+    res2 = search(
+        base2, probes2, cfg, is_valid_col=probe_validity_col()
+    ).collect()
+    assert any(r.id == 1 for r in res2), res2

@@ -11,6 +11,8 @@ blocking joins, candidate merge, window top-k, broadcast plans.
 
 import random
 
+import pytest
+
 from fuzzy_matcher_spark.config import example_member_config
 from fuzzy_matcher_spark.functions.similarity import (
     similarity,
@@ -57,7 +59,13 @@ def _oracle(probes):
             edits, ok = {}, True
             for f in pvals:
                 if budgets[f] == 0:
-                    if pvals[f] == mvals[f]:
+                    # zero budgets still free-complete stored values
+                    # extending the probe (BFS beyond the word end
+                    # increments neither edits nor depth,
+                    # breadth_first_search.go:62-73)
+                    if pvals[f] == mvals[f] or (
+                        pvals[f] and mvals[f].startswith(pvals[f])
+                    ):
                         edits[f] = 0
                     continue
                 e = trie_edit_distance(pvals[f], mvals[f])
@@ -111,12 +119,15 @@ def _gen_probes(n=150, seed=99):
     return probes
 
 
-def test_recall_vs_bruteforce_oracle(spark):
+@pytest.mark.parametrize("blocking", ["keys", "minhash"])
+def test_recall_vs_bruteforce_oracle(spark, blocking):
     probes = _gen_probes()
     want = _oracle(probes)
-    base = members_df(spark, CFG)
+    cfg = example_member_config()
+    cfg.blocking = blocking
+    base = members_df(spark, cfg)
     got_rows = search(
-        base, probes_df(spark, probes), CFG, is_valid_col=probe_validity_col()
+        base, probes_df(spark, probes), cfg, is_valid_col=probe_validity_col()
     ).collect()
     got = {(r.probe_id, r.id) for r in got_rows}
 
