@@ -271,6 +271,22 @@ def q_embedding_dup_pairs(spark, sf):
     )
 
 
+def q_embedding_dup_pairs_lsh(spark, sf):
+    """Bucketed (hyperplane-LSH) embedding near-dup pairs — the scale
+    path for threshold-pair generation; same output contract as the
+    brute-force query and oracled by the same brute-force SQL.
+    (The shipped testdata has no pairs >= 0.8, so both engines return
+    an empty set here; pair-set equality on planted duplicates is
+    asserted in tests/test_ann_lsh.py.)"""
+    from fuzzy_matcher_spark.operators.ann import lsh_dup_pairs
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return lsh_dup_pairs(emb, threshold=0.8)
+
+
 def q_events_sessions(spark, sf):
     """Sessionization: 30-minute inactivity gap splits sessions."""
     from fuzzy_matcher_spark.operators.sessions import session_stats
@@ -517,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_keep_canonical": q_exact_keep_canonical,
         "near_dup_keep_canonical": q_near_dup_keep_canonical,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
         "events_sessions": q_events_sessions,
         "events_json_props": q_events_json_props,
         "dedup_dropped": q_dedup_dropped,
@@ -682,6 +699,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                     AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  >= 0.8
+        """,
+        "embedding_dup_pairs_lsh": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS a, b.vec_id AS b,
                    list_dot_product(a.v, b.v) /

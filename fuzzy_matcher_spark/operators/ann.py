@@ -115,6 +115,54 @@ def hyperplane_buckets_udf(dim: int | None, tables: int, bits: int, seed: int):
     return _udf
 
 
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 16,
+    bits: int = 10,
+    seed: int = 42,
+    max_bucket: int = 2048,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (a, b, cosine) with a < b — the
+    bucketed scale path for threshold-pair generation (the brute-force
+    all-pairs query is its sf0.01 oracle anchor).
+
+    Candidates come from per-table hyperplane-bucket self-joins
+    (capped for skew, operators/pairs.py) instead of the O(n^2)
+    product; exact cosine over candidates decides. Recall per pair at
+    cosine c: 1 - (1 - p^bits)^tables with p = 1 - arccos(c)/pi —
+    0.999+ for c >= 0.95 at the defaults, lower near the threshold
+    itself; raise ``tables`` (or lower ``bits``) for tight-margin
+    corpora. Pair-set equality vs brute force on planted duplicates is
+    asserted by tests/test_ann_lsh.py.
+    """
+    from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
+
+    buckets = hyperplane_buckets_udf(None, tables, bits, seed)
+    idx = (
+        emb.withColumn("_bk", buckets(F.col(vec_col)))
+        .select(
+            F.col(id_col), F.posexplode("_bk").alias("table_id", "bucket")
+        )
+    )
+    pairs = capped_self_join_pairs(
+        idx, ["table_id", "bucket"], id_col, max_bucket
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_ea"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_eb"))
+    return (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "cosine", dot_col("_ea", "_eb") / (norm_col("_ea") * norm_col("_eb"))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
