@@ -3,10 +3,11 @@
 Spark-first shape: cluster id = min(doc id) per identical text. The
 grouping key is xxhash64(text) (cheap, fixed-width shuffle key); hash
 collisions are guarded by also grouping on length + md5. For pair
-emission (feeding connected components) we emit a *sorted chain* per
-group — consecutive (id_i, id_{i+1}) pairs via a window lead — which
-preserves connectivity with O(n) rows per family instead of O(n^2);
-a mega-family of identical boilerplate pages costs linear shuffle.
+emission (feeding connected components) we emit *star* pairs per
+group — (min_id, id) via a window min — which preserves connectivity
+with O(n) rows per family instead of O(n^2) and keeps the dup graph
+diameter 2, so CC converges in O(1) rounds; a mega-family of identical
+boilerplate pages costs linear shuffle.
 """
 
 from __future__ import annotations

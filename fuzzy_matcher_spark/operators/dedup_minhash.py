@@ -16,13 +16,16 @@ Stages (all lazy DataFrame transformations until the sink):
 Skew control (SURVEY.md §4.3): web boilerplate creates band buckets
 with thousands of members; an uncapped self-join is O(n^2) per bucket.
 We count bucket sizes with a single window (reusing the band-key
-shuffle), emit all pairs for buckets <= max_band_bucket, and a sorted
-*chain* of consecutive pairs for larger buckets — linear in bucket
-size and connectivity-preserving for CC. Verification failures can
-split a chain where all-pairs would not; oversized buckets are
-near-identical boilerplate in practice, and the exact-dup union
-re-links byte-identical members. Dropped-pair counts are surfaced in
-metrics, never silent.
+shuffle), emit all pairs for buckets <= max_band_bucket, and *star*
+pairs (hub = min id) for larger buckets — linear in bucket size,
+connectivity-preserving, and diameter-2 so CC converges in O(1)
+rounds. Verification failure of a hub edge can disconnect genuinely
+similar members where all-pairs would not (the hub may be a
+false-positive collision); oversized buckets are near-identical
+boilerplate in practice, and the exact-dup union re-links
+byte-identical members. Dropped-pair counts are observable via
+operators.pairs.capped_bucket_stats (one aggregation over the band
+index), never silently lost.
 
 Reference anchor: this implements the index the reference planned but
 never built (/root/reference/TODO.md:69-74); candidate semantics

@@ -42,6 +42,27 @@ def capped_self_join_pairs(
     return pairs_small.select("a", "b").union(pairs_big).distinct()
 
 
+def capped_bucket_stats(
+    idx: DataFrame, bucket_keys: list[str], cap: int
+) -> DataFrame:
+    """Observability for the capping trade-off: per-bucket-size stats
+    with the number of pairs the star emission drops vs all-pairs
+    (full = n*(n-1)/2, star = n-1). One aggregation over the index —
+    run on demand (pipelines record it into the metrics table), never
+    silently in-path."""
+    sizes = idx.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n").cast("long")
+    full = n * (n - 1) / 2
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(n > cap, 1).otherwise(0)).cast("long").alias("n_capped"),
+        F.sum(F.when(n > cap, full - (n - 1)).otherwise(0))
+        .cast("long")
+        .alias("pairs_dropped_by_cap"),
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

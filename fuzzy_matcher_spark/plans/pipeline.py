@@ -44,6 +44,9 @@ from fuzzy_matcher_spark.operators.dedup_simhash import (
     simhash_candidate_pairs,
     simhash_verify,
 )
+from fuzzy_matcher_spark.functions.minhash import explode_bands
+from fuzzy_matcher_spark.functions.simhash import explode_slices
+from fuzzy_matcher_spark.operators.pairs import capped_bucket_stats
 from fuzzy_matcher_spark.sources.tableio import TableIO
 
 METRICS_TABLE = "_metrics"
@@ -149,6 +152,42 @@ class DedupPipeline:
         self.io.write(metrics, METRICS_TABLE, mode="append")
         return n
 
+    def _record_bucket_stats(
+        self, run_id: str, done: dict, index_fn, bucket_keys: list[str]
+    ) -> None:
+        """Record the skew-cap observability row (bucket histogram +
+        pairs dropped by star emission) into the metrics table — the
+        cap is never silent. Skipped on resume (stage already done)."""
+        stage = "bucket_stats"
+        if stage in done:
+            return
+        t0 = time.time()
+        stats = capped_bucket_stats(
+            index_fn(), bucket_keys, self.cfg.max_band_bucket
+        ).collect()[0]
+        row = self.spark.createDataFrame(
+            [
+                (
+                    run_id,
+                    stage,
+                    int(stats.pairs_dropped_by_cap),
+                    float(round(time.time() - t0, 3)),
+                    time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    json.dumps(
+                        {
+                            "n_buckets": int(stats.n_buckets),
+                            "max_bucket": int(stats.max_bucket),
+                            "n_capped": int(stats.n_capped),
+                            "cap": self.cfg.max_band_bucket,
+                        }
+                    ),
+                )
+            ],
+            "run_id string, stage string, rows long, wall_sec double,"
+            " completed_at string, config_json string",
+        )
+        self.io.write(row, METRICS_TABLE, mode="append")
+
     def _table(self, run_id: str, stage: str) -> str:
         return f"{run_id}__{stage}"
 
@@ -209,6 +248,12 @@ class DedupPipeline:
             pairs = self._run_stage(
                 run_id, "pairs", done, lambda: candidate_pairs(sig, cfg, idc), report
             )
+            self._record_bucket_stats(
+                run_id,
+                done,
+                lambda: explode_bands(sig, idc, cfg),
+                ["band_id", "band_hash"],
+            )
             verified = self._run_stage(
                 run_id,
                 "verified",
@@ -230,6 +275,12 @@ class DedupPipeline:
                 done,
                 lambda: simhash_candidate_pairs(fp, cfg, idc),
                 report,
+            )
+            self._record_bucket_stats(
+                run_id,
+                done,
+                lambda: explode_slices(fp, idc, "fingerprint", cfg.simhash_tables),
+                ["table_id", "slice_key"],
             )
             verified = self._run_stage(
                 run_id,

@@ -147,7 +147,13 @@ class IcebergTableIO(TableIO):
         if partition_by:
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "append":
-            writer.append()
+            # append() throws on a missing table, and the append-only
+            # tables (_metrics/_lineage, streaming SIG/PAIR) are never
+            # pre-created — create on first write, then append
+            if not self.exists(table):
+                writer.create()
+            else:
+                writer.append()
         else:
             writer.createOrReplace()
 

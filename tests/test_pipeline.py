@@ -54,14 +54,23 @@ def test_pipeline_runs_and_resumes(spark, io):
     assert got1 == got2
     assert all(s.skipped for s in rep2.stages)
 
-    # metrics recorded once per stage with row counts
+    # metrics recorded once per stage with row counts, plus the
+    # skew-cap observability row (rows = pairs dropped by the cap)
     m = io.read(METRICS_TABLE).where("run_id = 'r1'").collect()
     assert {r.stage for r in m} == {
         "ingest", "signatures", "pairs", "verified", "clusters",
+        "bucket_stats",
     }
     by_stage = {r.stage: r.rows for r in m}
     assert by_stage["ingest"] == pages.count()
     assert by_stage["clusters"] == pages.count()
+    assert by_stage["bucket_stats"] == 0  # no bucket exceeds the cap here
+    import json as _json
+
+    stats = _json.loads(
+        {r.stage: r.config_json for r in m}["bucket_stats"]
+    )
+    assert stats["n_buckets"] > 0 and stats["n_capped"] == 0
 
     # lineage has per-partition rows summing to the stage totals
     lin = io.read("_lineage").where("run_id = 'r1' and stage = 'ingest'")
