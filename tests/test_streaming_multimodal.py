@@ -149,3 +149,101 @@ def test_ngram_dedup(spark):
         for b in texts:
             if a < b and texts[a] == texts[b]:
                 assert cl[a] == cl[b]
+
+
+# --- real codecs (pure numpy BMP/WAV/PPM) ----------------------------------
+
+import struct
+
+import numpy as np
+
+from fuzzy_matcher_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+)
+
+
+def _make_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        img += line + b"\x00" * (row_bytes - len(line))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+    return header + info + bytes(img)
+
+
+def _make_wav(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    data = (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _make_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def test_decode_bmp_roundtrip():
+    rng = np.random.RandomState(3)
+    pix = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width -> padding
+    out = decode_bmp(_make_bmp(pix))
+    assert out.shape == (5, 7, 3)
+    assert np.array_equal(out, pix)
+
+
+def test_decode_wav_roundtrip():
+    t = np.arange(800) / 800.0
+    x = 0.5 * np.sin(2 * np.pi * 10 * t)
+    out = decode_wav(_make_wav(x))
+    assert out.shape == (800,)
+    assert np.abs(out - x).max() < 1e-3  # 16-bit quantization
+    # stereo averages to mono
+    stereo = np.repeat(x, 2)
+    out2 = decode_wav(_make_wav(stereo, channels=2))
+    assert out2.shape == (800,)
+    assert np.abs(out2 - out).max() < 1e-3
+
+
+def test_decode_ppm_roundtrip():
+    rng = np.random.RandomState(4)
+    pix = rng.randint(0, 256, (4, 6, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(_make_ppm(pix)), pix)
+
+
+def test_real_codecs_through_spark(spark):
+    """extract_features(deterministic_fake=False) decodes BMP/WAV/PPM
+    inside mapInPandas and produces the documented feature semantics."""
+    white = np.full((8, 8, 3), 255, dtype=np.uint8)  # 64 px -> 32 non-empty blocks
+    silence = np.zeros(640)
+    rng = np.random.RandomState(5)
+    ppm_pix = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(_make_bmp(white)), None),
+        (2, "audio", bytearray(_make_wav(silence)), None),
+        (3, "image", bytearray(_make_ppm(ppm_pix)), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_features(media).collect()}
+    assert set(got) == {1, 2, 3}
+    # white image: all luminance mass in the top histogram bin (31)
+    f1 = np.asarray(got[1].feature)
+    assert f1[31] > 0 and f1[:31].sum() == 0
+    # block means are 255/255 = 1.0 pre-normalization: bins 32..63 equal
+    assert np.allclose(f1[32:], f1[32])
+    # silence: amplitude mass in the midpoint bin (16), zero RMS
+    f2 = np.asarray(got[2].feature)
+    assert f2[16] == 1.0 and np.allclose(f2[32:], 0.0)
+    # unknown container -> NotImplementedError surfaces from the task
+    bad = spark.createDataFrame(
+        [(9, "image", bytearray(b"\x89PNG...."), None)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(bad).collect()
