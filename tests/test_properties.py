@@ -106,3 +106,43 @@ def test_simhash_pigeonhole(base_fp, flip_bits):
 
     sa, sb = slices(base_fp), slices(other)
     assert any(x == y for x, y in zip(sa, sb))
+
+
+def test_simhash_udf_matches_pure_python_reference(spark):
+    """Cross-engine pin: an independently written pure-Python SimHash
+    over the same JVM xxhash64 shingle hashes must reproduce the
+    pandas-UDF fingerprints bit-for-bit (VERDICT r1 item 9)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.functions.shingles import (
+        shingle_hashes_col,
+        shingles_col,
+    )
+    from fuzzy_matcher_spark.functions.simhash import simhash64_udf
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs tonight ok"),
+        (3, "a b c d e f g h i j k l m n o p"),
+        (4, "sphinx of black quartz judge my vow said the sphinx of black"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string").select(
+        "doc_id",
+        shingle_hashes_col(shingles_col("text", "word", 4)).alias("h"),
+    )
+    rows = df.withColumn("fp", simhash64_udf("h")).collect()
+
+    def py_simhash(hashes):
+        votes = [0] * 64
+        for h in hashes:
+            u = h & 0xFFFFFFFFFFFFFFFF  # two's complement view
+            for j in range(64):
+                votes[j] += 1 if (u >> j) & 1 else -1
+        fp = 0
+        for j in range(64):
+            if votes[j] > 0:
+                fp |= 1 << j
+        return fp - (1 << 64) if fp >= 1 << 63 else fp  # back to int64
+
+    for r in rows:
+        assert r.fp == py_simhash(r.h), r.doc_id
