@@ -91,6 +91,35 @@ class FuzzyMatcher:
             as_of=as_of if as_of is not None else F.current_timestamp(),
         )
 
+    def search_with_profiles(
+        self,
+        probes: DataFrame,
+        profiles: dict,
+        profile_col: str = "profile",
+        probe_id_col: str = "probe_id",
+        extraction: dict[str, Column] | None = None,
+    ) -> DataFrame:
+        """Per-record parameter switching: GetSearchParameters may
+        return any parameter set per record (fuzzy_types/types.go:
+        102-105). ``profiles`` maps profile name -> MatchConfig; the
+        probe's ``profile_col`` selects its parameters. Probes are
+        prepared with this matcher's config (the field universe)."""
+        from fuzzy_matcher_spark.operators.matcher import search_profiles
+
+        if self._base is None:
+            return self.spark.createDataFrame(
+                [], f"{probe_id_col} long, {self.id_col} long, score double, rank int"
+            )
+        prepared = prepare(probes, self.config, extraction)
+        return search_profiles(
+            self._base,
+            prepared,
+            profiles,
+            profile_col=profile_col,
+            id_col=self.id_col,
+            probe_id_col=probe_id_col,
+        )
+
     # -- delete path (O12) ------------------------------------------------------
     def remove_entries(self, ids: DataFrame) -> "FuzzyMatcher":
         if self._base is None:

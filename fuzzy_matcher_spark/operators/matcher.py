@@ -378,6 +378,47 @@ def search(
     ).select(probe_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
 
 
+def search_profiles(
+    base: DataFrame,
+    probes: DataFrame,
+    profiles: dict[str, MatchConfig],
+    profile_col: str = "profile",
+    id_col: str = "id",
+    probe_id_col: str = "probe_id",
+    **kwargs,
+) -> DataFrame:
+    """Per-record parameter switching, set-oriented.
+
+    The reference's GetSearchParameters may return an arbitrary
+    parameter set per record (fuzzy_types/types.go:102-105); the
+    shipped sources use two (valid / zero-budget, covered by
+    ``is_valid_col``). For custom sources with more, partition the
+    probe set by a profile column and run one ``search`` per named
+    profile — each partition gets its full MatchConfig (budgets,
+    methods, thresholds, weights, blocking), and the results union.
+    Probes whose profile is not in ``profiles`` are ignored, like a
+    reference source returning no parameters for them.
+
+    All configs must produce prepare()-compatible probes: the probe
+    DataFrame must carry ``_n_<field>`` for the union of all profile
+    fields (call ``prepare`` with the widest config).
+    """
+    out = None
+    for name, cfg in profiles.items():
+        part = search(
+            base,
+            probes.where(F.col(profile_col) == name),
+            cfg,
+            id_col=id_col,
+            probe_id_col=probe_id_col,
+            **kwargs,
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("profiles must not be empty")
+    return out
+
+
 def remove_entries(base: DataFrame, ids: DataFrame, id_col: str = "id") -> DataFrame:
     """Delete path (O12): left-anti join; with TableIO persistence this
     becomes a MERGE/overwrite (sources/tableio.py)."""

@@ -272,3 +272,45 @@ def test_empty_required_field_rejects(spark):
         base2, probes2, cfg, is_valid_col=probe_validity_col()
     ).collect()
     assert any(r.id == 1 for r in res2), res2
+
+
+def test_search_profiles_per_record_parameters(spark):
+    """Per-record parameter switching (fuzzy_types/types.go:102-105):
+    probes in the 'strict' profile use a tight surname threshold that
+    rejects a typo the 'loose' profile accepts."""
+    from fuzzy_matcher_spark.operators.matcher import search_profiles
+    from fuzzy_matcher_spark.sources.members import extraction_exprs
+    from fuzzy_matcher_spark.operators.matcher import prepare
+
+    loose = MatchConfig(
+        fields={
+            "firstname": FieldParams(6, 6, 0.5, "jaro", 0.7),
+            "surname": FieldParams(6, 6, 0.5, "jaro", 0.7),
+        },
+        core=CoreParams(max_edits=6),
+    )
+    strict = MatchConfig(
+        fields={
+            "firstname": FieldParams(6, 6, 0.5, "jaro", 0.7),
+            "surname": FieldParams(6, 6, 0.5, "jaro", 0.97),
+        },
+        core=CoreParams(max_edits=6),
+    )
+    base = members_df(spark, loose)
+    raw = spark.createDataFrame(
+        [
+            (0, "John", "Smitt", "1990-05-15", "loose"),
+            (1, "John", "Smitt", "1990-05-15", "strict"),
+            (2, "John", "Smitt", "1990-05-15", "unknown"),
+        ],
+        "probe_id long, firstname string, surname string,"
+        " birthdate string, profile string",
+    )
+    probes = prepare(raw, loose, extraction_exprs())
+    got = search_profiles(base, probes, {"loose": loose, "strict": strict})
+    by_probe = {}
+    for r in got.collect():
+        by_probe.setdefault(r.probe_id, []).append(r.id)
+    assert 1 in by_probe.get(0, [])  # loose accepts the surname typo
+    assert 1 not in by_probe.get(1, [])  # strict threshold rejects it
+    assert 2 not in by_probe  # unknown profile -> no parameters -> no rows
