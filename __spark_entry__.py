@@ -564,6 +564,43 @@ _STOPS = (
 )
 
 
+def _near_dup_clusters_sql() -> str:
+    """Recursive CC over (brute-force exact-Jaccard pairs UNION exact
+    star pairs), singletons coalesced — the end-to-end flagship oracle."""
+    return f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), s AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 4
+                 THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i+3], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS sh
+          FROM t WHERE len(toks) > 0
+        ), jp AS (
+          SELECT a, b FROM (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sh, b.sh)) AS i,
+                   len(a.sh) AS la, len(b.sh) AS lb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          WHERE i / (la + lb - i) >= 0.8
+        ), ep AS (
+          SELECT m AS a, doc_id AS b FROM (
+            SELECT min(doc_id) OVER (PARTITION BY text) AS m, doc_id
+            FROM documents)
+          WHERE m <> doc_id
+        ), e AS (SELECT a, b FROM jp UNION SELECT a, b FROM ep),
+        ed AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+        reach(id, lbl) AS (
+          SELECT u, u FROM ed
+          UNION
+          SELECT ed.v, reach.lbl FROM reach JOIN ed ON ed.u = reach.id
+        ), comp AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     lang_case = """
         WITH t AS (
@@ -794,6 +831,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, i / (la + lb - i) AS jaccard
             FROM p WHERE i / (la + lb - i) >= 0.8
+        """,
+        "suffix_array_pairs": """
+            WITH g AS (
+              SELECT doc_id, unnest(list_transform(range(1, length(text) - 58),
+                             i -> text[i:i+59])) AS gram
+              FROM documents WHERE length(text) >= 60
+            )
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        """,
+        "near_dup_clusters": _near_dup_clusters_sql(),
+        "near_dup_keep_canonical": f"""
+            WITH clusters AS ({_near_dup_clusters_sql()})
+            SELECT cluster_id, canonical_id, cluster_size FROM (
+              SELECT c.cluster_id, d.doc_id AS canonical_id,
+                     CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                       AS cluster_size,
+                     row_number() OVER (PARTITION BY c.cluster_id
+                                        ORDER BY length(d.text) DESC, d.doc_id)
+                       AS rn
+              FROM clusters c JOIN documents d ON c.doc_id = d.doc_id)
+            WHERE rn = 1
         """,
         "lev_pairs_clusters": """
             WITH RECURSIVE e AS (
