@@ -29,23 +29,26 @@ from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
 def add_fingerprints(
     df: DataFrame, cfg: DedupConfig, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    from fuzzy_matcher_spark.operators.dedup_minhash import ensure_parallelism
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        _has_tokens,
+        ensure_parallelism,
+    )
 
     # zero-token docs shingle to the sentinel ['']; exclude them so
-    # byte-distinct punctuation-only docs stay singletons (same rule as
-    # dedup_minhash.add_signatures)
+    # byte-distinct punctuation-only docs stay singletons (same rule
+    # and same cheap text-level predicate as dedup_minhash — filtering
+    # on the shingle column would duplicate the shingle expression
+    # into the Filter)
     return (
         ensure_parallelism(df)
+        .where(_has_tokens(text_col))
         .select(
             F.col(id_col),
-            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size).alias(
-                "_sh"
-            ),
-        )
-        .where(~((F.size("_sh") == 1) & (F.trim(F.element_at("_sh", 1)) == "")))
-        .select(
-            F.col(id_col),
-            simhash64_udf(shingle_hashes_col(F.col("_sh"))).alias("fingerprint"),
+            simhash64_udf(
+                shingle_hashes_col(
+                    shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
+                )
+            ).alias("fingerprint"),
         )
     )
 
