@@ -116,10 +116,11 @@ def q_quality_score(spark, sf):
 
 
 def q_shingle_count(spark, sf):
-    d = _t(spark, sf, "documents")
+    from fuzzy_matcher_spark.functions.shingles import add_shingles
+
+    d = add_shingles(_t(spark, sf, "documents"), "word", 4)
     return d.select(
-        "doc_id",
-        F.size(shingles_col("text", "word", 4)).cast("long").alias("n_shingles"),
+        "doc_id", F.size("_sh").cast("long").alias("n_shingles")
     )
 
 

@@ -96,10 +96,19 @@ def run_suite(master: str, shuffle: int | None = None):
     return timings, rows, n_docs
 
 
-def run_scaling(n_docs: int = 40000, words: int = 150):
+def run_scaling(n_docs: int | None = None, words: int = 150):
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "750000"))
     """Same job, same materialized input, two parallelism levels
     (local[8] = N, local[32] = 4N). North-rule evidence: efficiency =
-    throughput(4N) / (4 * throughput(N)) >= 0.8."""
+    throughput(4N) / (4 * throughput(N)) >= 0.8.
+
+    The corpus must be large enough that compute dominates fixed
+    overhead at the HIGHER parallelism (this host runs the flagship at
+    several hundred docs/s/core, so 4N on a small corpus measures JIT
+    warm-up and stage-scheduling floor, not scaling). Each session
+    also runs one untimed warm pass of the full flagship plan shape —
+    first execution pays one-time codegen that a long-running cluster
+    job amortizes."""
     from pyspark.sql import functions as F
 
     from fuzzy_matcher_spark.config import DedupConfig
@@ -118,8 +127,12 @@ def run_scaling(n_docs: int = 40000, words: int = 150):
     ).parquet(corpus)
     spark.stop()
 
-    out = {"n_docs": n_docs}
-    for n in (8, 32):
+    levels = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    )
+    out = {"n_docs": n_docs, "levels": list(levels)}
+    for n in levels:
         spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
         warm = spark.range(0, 2000).selectExpr(
             "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
@@ -128,17 +141,21 @@ def run_scaling(n_docs: int = 40000, words: int = 150):
             F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
         ).collect()
         docs = spark.read.parquet(corpus)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            minhash_dedup(docs, cfg).count()
-            best = min(best, time.perf_counter() - t0)
+        # untimed warm pass on a slice: full plan shape, ~5% of the data
+        minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
+        t0 = time.perf_counter()
+        minhash_dedup(docs, cfg).count()
+        best = time.perf_counter() - t0
         spark.stop()
         out[f"local[{n}]"] = {
             "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 2),
         }
-    eff = out["local[32]"]["docs_per_sec"] / (4.0 * out["local[8]"]["docs_per_sec"])
+    lo, hi = levels
+    eff = (
+        out[f"local[{hi}]"]["docs_per_sec"]
+        / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
+    )
     out["scaling_efficiency_N_to_4N"] = round(eff, 4)
     print(json.dumps(out))
 

@@ -49,7 +49,7 @@ from fuzzy_matcher_spark.functions.minhash import (
     sig_agreement_col,
     signature_col,
 )
-from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
+from fuzzy_matcher_spark.functions.shingles import add_shingle_hashes
 from fuzzy_matcher_spark.operators.connected_components import connected_components
 from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
 from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
@@ -113,16 +113,18 @@ def add_signatures(
     <=> zero tokens <=> sentinel shingles) — filtering on the shingle
     column itself makes Catalyst duplicate the whole shingle expression
     into the Filter (measured: inverted N->4N scaling from the doubled
-    allocations)."""
+    allocations). Shingling goes through add_shingle_hashes (two-step
+    projection) so the tokenizer runs once per row, not once per gram
+    — the single-expression form re-evaluates the split inside the
+    gram lambda (~150x/row; measured 20x slower end-to-end)."""
     return (
-        ensure_parallelism(df)
-        .where(_has_tokens(text_col))
-        .select(
-            F.col(id_col),
-            shingle_hashes_col(
-                shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
-            ).alias("shingle_hashes"),
+        add_shingle_hashes(
+            ensure_parallelism(df).where(_has_tokens(text_col)),
+            cfg.shingle_mode,
+            cfg.shingle_size,
+            text_col,
         )
+        .select(F.col(id_col), "shingle_hashes")
         .withColumn("signature", signature_col(F.col("shingle_hashes"), cfg))
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fuzzy_matcher_spark.config import DedupConfig
-from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
+from fuzzy_matcher_spark.functions.shingles import add_shingle_hashes
 from fuzzy_matcher_spark.operators.connected_components import connected_components
 from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
 from fuzzy_matcher_spark.operators.dedup_minhash import jaccard_udf
@@ -37,12 +37,11 @@ def ngram_candidates(
     block on all their shingles; long docs on the sampled subset."""
     from fuzzy_matcher_spark.operators.dedup_minhash import ensure_parallelism
 
-    hashes = ensure_parallelism(df).select(
-        F.col(id_col),
-        shingle_hashes_col(
-            shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
-        ).alias("shingle_hashes"),
-    )
+    # two-step shingling: tokenizer evaluated once per row, not once
+    # per gram (functions/shingles.add_shingles)
+    hashes = add_shingle_hashes(
+        ensure_parallelism(df), cfg.shingle_mode, cfg.shingle_size, text_col
+    ).select(F.col(id_col), "shingle_hashes")
     sampled = F.filter(
         F.col("shingle_hashes"), lambda h: F.pmod(h, F.lit(sample_mod)) == 0
     )

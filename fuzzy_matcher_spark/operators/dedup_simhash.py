@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fuzzy_matcher_spark.config import DedupConfig
-from fuzzy_matcher_spark.functions.shingles import shingle_hashes_col, shingles_col
+from fuzzy_matcher_spark.functions.shingles import add_shingle_hashes
 from fuzzy_matcher_spark.functions.simhash import (
     explode_slices,
     hamming_col,
@@ -38,18 +38,17 @@ def add_fingerprints(
     # byte-distinct punctuation-only docs stay singletons (same rule
     # and same cheap text-level predicate as dedup_minhash — filtering
     # on the shingle column would duplicate the shingle expression
-    # into the Filter)
+    # into the Filter). Two-step shingling: tokenizer runs once per
+    # row, not once per gram (see functions/shingles.add_shingles).
     return (
-        ensure_parallelism(df)
-        .where(_has_tokens(text_col))
-        .select(
-            F.col(id_col),
-            simhash64_udf(
-                shingle_hashes_col(
-                    shingles_col(text_col, cfg.shingle_mode, cfg.shingle_size)
-                )
-            ).alias("fingerprint"),
+        add_shingle_hashes(
+            ensure_parallelism(df).where(_has_tokens(text_col)),
+            cfg.shingle_mode,
+            cfg.shingle_size,
+            text_col,
+            out="_h",
         )
+        .select(F.col(id_col), simhash64_udf(F.col("_h")).alias("fingerprint"))
     )
 
 
