@@ -156,13 +156,20 @@ def verify_pairs(
     signature; the (much wider) shingle-hash sets are joined in a
     second pass restricted to prefilter survivors — at web scale the
     survivors are orders of magnitude fewer than the candidates.
+
+    Join strategy: the signature/shingle sides carry wide array
+    columns whose plan-time size estimates undershoot badly (array
+    expansion is invisible to scan-based stats) — AQE tried to
+    BROADCAST the 300k-doc signature table and exhausted the driver
+    (observed). merge hints pin these to sort-merge joins, which
+    scale linearly and never materialize the wide side on the driver.
     """
     sig_a = sig_df.select(
         F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
-    )
+    ).hint("merge")
     sig_b = sig_df.select(
         F.col(id_col).alias("b"), F.col("signature").alias("_sig_b")
-    )
+    ).hint("merge")
     j = (
         pairs.join(sig_a, "a")
         .join(sig_b, "b")
@@ -176,10 +183,10 @@ def verify_pairs(
         )
     sh_a = sig_df.select(
         F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_sh_a")
-    )
+    ).hint("merge")
     sh_b = sig_df.select(
         F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_sh_b")
-    )
+    ).hint("merge")
     return (
         j.join(sh_a, "a")
         .join(sh_b, "b")

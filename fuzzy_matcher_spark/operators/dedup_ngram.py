@@ -58,8 +58,14 @@ def ngram_candidates(
 def ngram_verify(
     pairs: DataFrame, hashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    ha = hashes.select(F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha"))
-    hb = hashes.select(F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb"))
+    # merge hints: wide array sides must never broadcast (plan-time
+    # size estimates undershoot array expansion — see dedup_minhash)
+    ha = hashes.select(
+        F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha")
+    ).hint("merge")
+    hb = hashes.select(
+        F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb")
+    ).hint("merge")
     return (
         pairs.join(ha, "a")
         .join(hb, "b")
