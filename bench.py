@@ -119,13 +119,16 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     from fuzzy_matcher_spark.session import get_spark
     from fuzzy_matcher_spark.sources.synth import synthetic_docs
 
-    corpus = "/tmp/spark_graft_scale_corpus.parquet"
+    corpus = os.environ.get(
+        "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_scale_corpus.parquet"
+    )
     cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
-    spark = get_spark(master="local[32]")
-    synthetic_docs(spark, n_docs, words).repartition(32).write.mode(
-        "overwrite"
-    ).parquet(corpus)
-    spark.stop()
+    if not os.path.exists(corpus):  # reuse a pre-generated corpus
+        spark = get_spark(master="local[32]")
+        synthetic_docs(spark, n_docs, words).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+        spark.stop()
 
     levels = tuple(
         int(x)
@@ -157,6 +160,49 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
         / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
     )
     out["scaling_efficiency_N_to_4N"] = round(eff, 4)
+    print(json.dumps(out))
+
+
+def run_kernel_scaling():
+    """Pure-Python multi-process scaling of the MinHash kernel (no
+    Spark, no JVM): per-core docs/s at 1, 8, and 32 worker processes.
+    Complements --scaling: immune to multi-tenant host bursts and to
+    Spark's per-job fixed costs, it isolates whether the compute
+    kernel itself scales with cores (it should be embarrassingly
+    parallel)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from fuzzy_matcher_spark.functions.minhash import _MASK32, _P, _perm_coeffs
+
+    def worker(q):
+        rng = np.random.RandomState(7)
+        docs = [rng.randint(0, 1 << 62, 150).astype(np.int64) for _ in range(2000)]
+        a, b = _perm_coeffs(128, 42)
+        a_col, b_col = a[:, None], b[:, None]
+        t0 = time.time()
+        for h in docs:
+            x = h.astype(np.uint64) & _MASK32
+            ((a_col * x[None, :] + b_col) % _P).min(axis=1)
+        q.put(len(docs) / (time.time() - t0))
+
+    out = {}
+    for n in (1, 8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(n)]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        rates = [q.get() for _ in ps]
+        out[f"procs_{n}"] = {
+            "docs_per_sec_per_core": round(sum(rates) / len(rates), 1),
+            "docs_per_sec_total": round(sum(rates), 1),
+        }
+    out["kernel_scaling_efficiency_1_to_32"] = round(
+        out["procs_32"]["docs_per_sec_total"]
+        / (32 * out["procs_1"]["docs_per_sec_total"]),
+        4,
+    )
     print(json.dumps(out))
 
 
@@ -221,6 +267,9 @@ def main():
         return
     if "--micro" in sys.argv:
         run_micro()
+        return
+    if "--kernel-scaling" in sys.argv:
+        run_kernel_scaling()
         return
 
     timings, _, n_docs = run_suite(f"local[{CPUS}]")
