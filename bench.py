@@ -154,7 +154,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
             "sec": round(best, 3),
             "docs_per_sec": round(n_docs / best, 2),
         }
-    lo, hi = levels
+    lo, hi = sorted(levels)  # run order is as given; eff always N->4N
     eff = (
         out[f"local[{hi}]"]["docs_per_sec"]
         / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
