@@ -157,19 +157,24 @@ def verify_pairs(
     second pass restricted to prefilter survivors — at web scale the
     survivors are orders of magnitude fewer than the candidates.
 
-    Join strategy: the signature/shingle sides carry wide array
-    columns whose plan-time size estimates undershoot badly (array
-    expansion is invisible to scan-based stats) — AQE tried to
-    BROADCAST the 300k-doc signature table and exhausted the driver
-    (observed). merge hints pin these to sort-merge joins, which
-    scale linearly and never materialize the wide side on the driver.
+    Join strategy: callers must pass a MATERIALIZED persisted sig_df
+    (minhash_dedup counts it after persist). Without that, the static
+    planner sizes the signature side from scan-based estimates that
+    miss array expansion and can choose to BROADCAST the wide table —
+    observed to exhaust an 8g driver at 300k docs. With exact
+    InMemoryRelation stats the planner broadcasts the (small) pair
+    set and streams the wide side at probe scale, and falls back to
+    shuffled joins when pairs outgrow the broadcast threshold — the
+    right plan in both regimes. Pinning strategies by hint was
+    measured 6-10x slower (merge: sorts of wide rows dominate;
+    shuffle_hash: forfeits the stream-side zero-shuffle plan).
     """
     sig_a = sig_df.select(
         F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
-    ).hint("merge")
+    )
     sig_b = sig_df.select(
         F.col(id_col).alias("b"), F.col("signature").alias("_sig_b")
-    ).hint("merge")
+    )
     j = (
         pairs.join(sig_a, "a")
         .join(sig_b, "b")
@@ -183,10 +188,10 @@ def verify_pairs(
         )
     sh_a = sig_df.select(
         F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_sh_a")
-    ).hint("merge")
+    )
     sh_b = sig_df.select(
         F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_sh_b")
-    ).hint("merge")
+    )
     return (
         j.join(sh_a, "a")
         .join(sh_b, "b")
@@ -209,8 +214,12 @@ def minhash_dedup(
     cfg = cfg or DedupConfig()
     cfg.validate()
     # signatures feed three consumers (band index + both verify sides):
-    # persist so the pandas-UDF hop runs once
+    # persist so the pandas-UDF hop runs once, and materialize EAGERLY
+    # so downstream static plans see exact InMemoryRelation stats —
+    # scan-based estimates miss array expansion and once led the
+    # planner to broadcast the wide table (see verify_pairs docstring)
     sig_df = add_signatures(df, cfg, text_col, id_col).persist()
+    sig_df.count()
     pairs = candidate_pairs(sig_df, cfg, id_col)
     verified = verify_pairs(pairs, sig_df, cfg, id_col, exact=exact_verify)
     edge_df = verified.select("a", "b")

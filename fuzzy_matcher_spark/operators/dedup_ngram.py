@@ -58,14 +58,11 @@ def ngram_candidates(
 def ngram_verify(
     pairs: DataFrame, hashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    # merge hints: wide array sides must never broadcast (plan-time
-    # size estimates undershoot array expansion — see dedup_minhash)
-    ha = hashes.select(
-        F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha")
-    ).hint("merge")
-    hb = hashes.select(
-        F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb")
-    ).hint("merge")
+    # callers pass a materialized persisted `hashes` (ngram_dedup
+    # counts it) so the planner sizes the wide array side exactly and
+    # never broadcasts it — see dedup_minhash.verify_pairs
+    ha = hashes.select(F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha"))
+    hb = hashes.select(F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb"))
     return (
         pairs.join(ha, "a")
         .join(hb, "b")
@@ -86,6 +83,7 @@ def ngram_dedup(
     cfg = cfg or DedupConfig()
     hashes, pairs = ngram_candidates(df, cfg, text_col, id_col, sample_mod)
     hashes = hashes.persist()
+    hashes.count()  # exact stats for the verify joins (never broadcast wide side)
     verified = ngram_verify(pairs, hashes, cfg, id_col).select("a", "b")
     if include_exact:
         verified = verified.union(exact_pairs(df, text_col, id_col)).distinct()

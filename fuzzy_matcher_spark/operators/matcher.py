@@ -325,12 +325,10 @@ def search(
         <= F.lit(cfg.core.max_edits)
     )
 
-    # verification (O4d): join values back, reference decision order.
-    # merge hint: the corpus-values side must never broadcast (corpus-
-    # sized; plan-time estimates can undershoot after projections)
+    # verification (O4d): join values back, reference decision order
     b_vals = base.select(
         F.col(id_col), *[F.col(f"_n_{f}").alias(f"_bn_{f}") for f in cfg.fields]
-    ).hint("merge")
+    )
     p_vals = probes.select(
         F.col(probe_id_col),
         *[F.col(f"_n_{f}").alias(f"_pn_{f}") for f in cfg.fields],
