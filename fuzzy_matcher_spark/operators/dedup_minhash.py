@@ -157,22 +157,29 @@ def verify_pairs(
     second pass restricted to prefilter survivors — at web scale the
     survivors are orders of magnitude fewer than the candidates.
 
-    Join strategy: callers must pass a MATERIALIZED persisted sig_df
-    (minhash_dedup counts it after persist). Without that, the static
-    planner sizes the signature side from scan-based estimates that
-    miss array expansion and can choose to BROADCAST the wide table —
-    observed to exhaust an 8g driver at 300k docs. With exact
-    InMemoryRelation stats the planner broadcasts the (small) pair
-    set and streams the wide side at probe scale, and falls back to
-    shuffled joins when pairs outgrow the broadcast threshold — the
-    right plan in both regimes. Pinning strategies by hint was
-    measured 6-10x slower (merge: sorts of wide rows dominate;
-    shuffle_hash: forfeits the stream-side zero-shuffle plan).
+    Join shape (the 100 TB-relevant part): joining pairs -> sig_a ->
+    sig_b sequentially drags the wide signature arrays through every
+    later join — the planner sorts corpus-sized wide rows and verify
+    cost scales with the CORPUS (measured 26x blowup from 300k to
+    800k docs). Instead the signatures are first SEMI-JOINED down to
+    the ids that appear in any candidate pair: the distinct-id set is
+    narrow (broadcastable until pairs are enormous, and a shuffled
+    semi join beyond that), so the wide table is streamed once and
+    every subsequent join touches only candidate-sized wide rows —
+    verification cost scales with candidate volume, not corpus size.
+    Callers must pass a MATERIALIZED persisted sig_df (minhash_dedup
+    counts it after persist) so plan sizes are exact; scan-based
+    estimates miss array expansion and once led the planner to
+    broadcast the full wide table (driver OOM at 300k docs, 8g).
     """
-    sig_a = sig_df.select(
+    cand_ids = pairs.select(
+        F.explode(F.array("a", "b")).alias(id_col)
+    ).distinct()
+    sig_cand = sig_df.join(cand_ids, id_col, "left_semi")
+    sig_a = sig_cand.select(
         F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
     )
-    sig_b = sig_df.select(
+    sig_b = sig_cand.select(
         F.col(id_col).alias("b"), F.col("signature").alias("_sig_b")
     )
     j = (
@@ -186,10 +193,10 @@ def verify_pairs(
         return j.where(F.col("est") >= cfg.jaccard_threshold).select(
             "a", "b", F.col("est").alias("jaccard")
         )
-    sh_a = sig_df.select(
+    sh_a = sig_cand.select(
         F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_sh_a")
     )
-    sh_b = sig_df.select(
+    sh_b = sig_cand.select(
         F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_sh_b")
     )
     return (

@@ -58,11 +58,14 @@ def ngram_candidates(
 def ngram_verify(
     pairs: DataFrame, hashes: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
-    # callers pass a materialized persisted `hashes` (ngram_dedup
-    # counts it) so the planner sizes the wide array side exactly and
-    # never broadcasts it — see dedup_minhash.verify_pairs
-    ha = hashes.select(F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha"))
-    hb = hashes.select(F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb"))
+    # semi-join reduction: restrict the wide hash table to candidate
+    # ids first so later joins touch candidate-sized wide rows only —
+    # see dedup_minhash.verify_pairs (callers pass `hashes` persisted
+    # + materialized for exact plan sizes)
+    cand_ids = pairs.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    hc = hashes.join(cand_ids, id_col, "left_semi")
+    ha = hc.select(F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_ha"))
+    hb = hc.select(F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_hb"))
     return (
         pairs.join(ha, "a")
         .join(hb, "b")
