@@ -97,7 +97,6 @@ def run_suite(master: str, shuffle: int | None = None):
 
 
 def run_scaling(n_docs: int | None = None, words: int = 150):
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "750000"))
     """Same job, same materialized input, two parallelism levels
     (local[8] = N, local[32] = 4N). North-rule evidence: efficiency =
     throughput(4N) / (4 * throughput(N)) >= 0.8.
@@ -109,6 +108,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     also runs one untimed warm pass of the full flagship plan shape —
     first execution pays one-time codegen that a long-running cluster
     job amortizes."""
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "750000"))
     from pyspark.sql import functions as F
 
     from fuzzy_matcher_spark.config import DedupConfig
@@ -134,7 +134,9 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
     )
-    out = {"n_docs": n_docs, "levels": list(levels)}
+    if len(levels) != 2:
+        raise SystemExit("SPARK_GRAFT_SCALE_LEVELS must name exactly two levels")
+    out = {"levels": list(levels)}
     for n in levels:
         spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
         warm = spark.range(0, 2000).selectExpr(
@@ -144,15 +146,19 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
             F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
         ).collect()
         docs = spark.read.parquet(corpus)
+        # a reused pre-generated corpus may differ from the requested
+        # n_docs — throughput must use the actual row count
+        n_corpus = docs.count()
         # untimed warm pass on a slice: full plan shape, ~5% of the data
         minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
         t0 = time.perf_counter()
         minhash_dedup(docs, cfg).count()
         best = time.perf_counter() - t0
         spark.stop()
+        out["n_docs"] = n_corpus
         out[f"local[{n}]"] = {
             "sec": round(best, 3),
-            "docs_per_sec": round(n_docs / best, 2),
+            "docs_per_sec": round(n_corpus / best, 2),
         }
     lo, hi = sorted(levels)  # run order is as given; eff always N->4N
     eff = (

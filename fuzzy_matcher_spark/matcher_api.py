@@ -122,14 +122,15 @@ class FuzzyMatcher:
 
     # -- delete path (O12) ------------------------------------------------------
     def remove_entries(self, ids: DataFrame) -> "FuzzyMatcher":
+        """Bulk remove (RemoveEntries, fuzzy_matcher_core/clean.go:93-134).
+        Both the in-memory and the persisted path are anti-join shaped —
+        the id set stays a DataFrame end to end, so a 10M-row delete
+        set never lands on the driver."""
         if self._base is None:
             return self
         self._base = remove_entries(self._base, ids, self.id_col)
         if self.io is not None:
-            vals = [r[0] for r in ids.collect()]
-            if vals:
-                pred = f"{self.id_col} IN ({','.join(str(v) for v in vals)})"
-                self.io.delete_where(BASE_TABLE, pred)
+            self.io.delete_matching(BASE_TABLE, ids, self.id_col)
         return self
 
     # -- maintenance (O11) -------------------------------------------------------

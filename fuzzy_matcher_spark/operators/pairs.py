@@ -79,13 +79,20 @@ def capped_bucket_stats(
     sizes = idx.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("n"))
     n = F.col("n").cast("long")
     full = n * (n - 1) / 2
+    zero = F.lit(0).cast("long")
+    # coalesce: max/sum over ZERO buckets (empty corpus, or every doc
+    # filtered out upstream) return NULL, and the metrics recorder
+    # int()-casts these — the stats row must stay well-typed
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.max("n").cast("long").alias("max_bucket"),
-        F.sum(F.when(n > cap, 1).otherwise(0)).cast("long").alias("n_capped"),
-        F.sum(F.when(n > cap, full - (n - 1)).otherwise(0))
-        .cast("long")
-        .alias("pairs_dropped_by_cap"),
+        F.coalesce(F.max("n").cast("long"), zero).alias("max_bucket"),
+        F.coalesce(
+            F.sum(F.when(n > cap, 1).otherwise(0)).cast("long"), zero
+        ).alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(n > cap, full - (n - 1)).otherwise(0)).cast("long"),
+            zero,
+        ).alias("pairs_dropped_by_cap"),
     )
 
 

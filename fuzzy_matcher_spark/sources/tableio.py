@@ -44,6 +44,20 @@ class TableIO:
     def exists(self, table: str) -> bool: ...
     def snapshots(self, table: str) -> list[dict]: ...
 
+    def delete_matching(self, table: str, keys: DataFrame, key_col: str) -> None:
+        """Row-level delete driven by a DataFrame of keys — the bulk
+        path. Never collects the key set to the driver: a 10M-row
+        delete set stays distributed (an `IN (...)` predicate string
+        would OOM the driver and overflow the SQL parser). Parquet
+        backend: anti-join rewrite into a new snapshot (COW); Iceberg
+        backend: MERGE ... WHEN MATCHED THEN DELETE with the keys
+        DataFrame as source."""
+        kc = keys.columns[0]
+        survivors = self.read(table).join(
+            keys.select(F.col(kc).alias(key_col)).distinct(), key_col, "left_anti"
+        )
+        self.write(survivors, table, mode="overwrite")
+
 
 class ParquetTableIO(TableIO):
     def __init__(self, spark: SparkSession, root: str):
@@ -149,9 +163,17 @@ class IcebergTableIO(TableIO):
         if mode == "append":
             # append() throws on a missing table, and the append-only
             # tables (_metrics/_lineage, streaming SIG/PAIR) are never
-            # pre-created — create on first write, then append
+            # pre-created — create on first write, then append. The
+            # exists()/create() pair races under concurrent appenders
+            # (two parallel runs both see the table absent): catch the
+            # loser's already-exists error and retry as a plain append.
             if not self.exists(table):
-                writer.create()
+                try:
+                    writer.create()
+                except Exception as e:
+                    if "exist" not in str(e).lower():
+                        raise
+                    writer.append()
             else:
                 writer.append()
         else:
@@ -159,6 +181,19 @@ class IcebergTableIO(TableIO):
 
     def delete_where(self, table: str, predicate: str) -> None:
         self.spark.sql(f"DELETE FROM {self._fq(table)} WHERE {predicate}")
+
+    def delete_matching(self, table: str, keys: DataFrame, key_col: str) -> None:
+        """Distributed row-level delete: MERGE with the key DataFrame
+        as source (no driver-side key materialization). Iceberg plans
+        this as a position/equality-delete commit, not a full rewrite."""
+        kc = keys.columns[0]
+        keys.select(F.col(kc).alias(key_col)).distinct().createOrReplaceTempView(
+            "_delete_keys"
+        )
+        self.spark.sql(
+            f"MERGE INTO {self._fq(table)} t USING _delete_keys s "
+            f"ON t.{key_col} = s.{key_col} WHEN MATCHED THEN DELETE"
+        )
 
     def snapshots(self, table: str) -> list[dict]:
         rows = self.spark.sql(

@@ -154,3 +154,33 @@ def test_pipeline_rebuilds_corrupt_checkpoint(spark, io):
     assert not by_stage["pairs"].skipped, "corrupt stage must rebuild"
     assert by_stage["pairs"].rows == pairs_rows, "attempt-scoped count"
     assert clusters.count() == pages.count()
+
+
+def test_tableio_bulk_delete_matching(spark, io):
+    """Bulk delete path (O12 persisted): the key set stays a DataFrame
+    — 100k ids never land on the driver (no IN-list predicate)."""
+    base = spark.range(0, 120_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    io.write(base, "big")
+    doomed = spark.range(0, 100_000).select(F.col("id"))
+    io.delete_matching("big", doomed, "id")
+    left = io.read("big")
+    assert left.count() == 20_000
+    assert left.agg(F.min("id")).collect()[0][0] == 100_000
+
+
+def test_bucket_stats_empty_index(spark):
+    """capped_bucket_stats over an empty band index (empty corpus /
+    all docs filtered out) must return zeros, not NULLs — the metrics
+    recorder int()-casts every field."""
+    from fuzzy_matcher_spark.operators.pairs import capped_bucket_stats
+
+    idx = spark.createDataFrame([], "band_id int, band_hash long, doc_id long")
+    row = capped_bucket_stats(idx, ["band_id", "band_hash"], 64).collect()[0]
+    assert (
+        int(row.n_buckets),
+        int(row.max_bucket),
+        int(row.n_capped),
+        int(row.pairs_dropped_by_cap),
+    ) == (0, 0, 0, 0)
