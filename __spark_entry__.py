@@ -90,8 +90,21 @@ def q_exact_dup_clusters(spark, sf):
     )
 
 
+def _docs_with_planted_dups(spark, sf):
+    """documents plus deterministic byte-identical copies (doc_id %7==3
+    shifted by +1_000_000). The shipped sf0.01 corpus has no exact
+    duplicates, which made the pair/dropped oracles hash-match on
+    empty sets — true but evidence-free. Planting makes them
+    non-vacuous; the oracle SQL plants the identical rows."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
 def q_exact_dup_pairs(spark, sf):
-    return exact_pairs(_t(spark, sf, "documents"), "text", "doc_id")
+    return exact_pairs(_docs_with_planted_dups(spark, sf), "text", "doc_id")
 
 
 def q_token_stats(spark, sf):
@@ -251,14 +264,26 @@ def q_exact_keep_canonical(spark, sf):
     return keep_canonical(clusters, docs).select("doc_id")
 
 
+def _emb_with_planted_dups(spark, sf, vec_col="e"):
+    """embeddings plus byte-identical vector copies (vec_id %11==5
+    shifted by +100_000): cosine(v, v) computes identically in both
+    engines, so the threshold-pair oracles exercise real values
+    instead of hash-matching empty sets (no sf0.01 pair reaches 0.8)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(vec_col),
+    )
+    planted = emb.where(F.col("vec_id") % 11 == 5).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), vec_col
+    )
+    return emb.unionByName(planted)
+
+
 def q_embedding_dup_pairs(spark, sf):
     """Embedding-cosine near-duplicate pairs (brute force, exact)."""
     from fuzzy_matcher_spark.operators.ann import dot_col, norm_col
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    emb = _emb_with_planted_dups(spark, sf)
     a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("_ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("_eb"))
     return (
@@ -275,16 +300,14 @@ def q_embedding_dup_pairs(spark, sf):
 def q_embedding_dup_pairs_lsh(spark, sf):
     """Bucketed (hyperplane-LSH) embedding near-dup pairs — the scale
     path for threshold-pair generation; same output contract as the
-    brute-force query and oracled by the same brute-force SQL.
-    (The shipped testdata has no pairs >= 0.8, so both engines return
-    an empty set here; pair-set equality on planted duplicates is
-    asserted in tests/test_ann_lsh.py.)"""
+    brute-force query and oracled by the same brute-force SQL. Runs
+    over the planted-duplicate corpus: identical vectors share every
+    hyperplane bucket, so LSH recall on the planted pairs is exactly 1
+    and the hash-match is non-vacuous. Richer recall evidence (near-
+    but-not-identical planted dups) is in tests/test_ann_lsh.py."""
     from fuzzy_matcher_spark.operators.ann import lsh_dup_pairs
 
-    emb = _t(spark, sf, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
+    emb = _emb_with_planted_dups(spark, sf, vec_col="embedding")
     return lsh_dup_pairs(emb, threshold=0.8)
 
 
@@ -296,8 +319,9 @@ def q_events_sessions(spark, sf):
 
 
 def q_dedup_dropped(spark, sf):
-    """Set difference: docs removed by exact dedup (all minus kept)."""
-    docs = _t(spark, sf, "documents")
+    """Set difference: docs removed by exact dedup (all minus kept),
+    over the planted-duplicate corpus so the result is non-empty."""
+    docs = _docs_with_planted_dups(spark, sf)
     kept = exact_clusters(docs, "text", "doc_id").select(
         F.col("cluster_id").alias("doc_id")
     )
@@ -321,7 +345,14 @@ def q_events_json_props(spark, sf):
 
 def q_matcher_exact_search(spark, sf):
     """Matcher with all-zero budgets (exact-only path, O14 invalid-probe
-    semantics): probe = every 100th customer against the full corpus."""
+    semantics): probe = every 100th customer against the full corpus.
+
+    The probe set exercises all three zero-budget match directions
+    non-vacuously: unmodified names (exact equi-join), names truncated
+    by two raw chars (probe is a proper prefix of stored values -> free
+    BFS completion, breadth_first_search.go:62-73), and names with a
+    'zz' suffix (stored is a proper prefix of the probe -> end-of-string
+    node passed mid-walk, utils.go:30-43 step 3)."""
     from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
     from fuzzy_matcher_spark.operators.matcher import prepare, search
 
@@ -331,9 +362,17 @@ def q_matcher_exact_search(spark, sf):
     )
     cust = _t(spark, sf, "customer")
     base = prepare(cust.select(F.col("c_custkey").alias("id"), "c_name"), cfg)
+    probe_name = (
+        F.when(F.col("c_custkey") % 300 == 3, F.concat(F.col("c_name"), F.lit("zz")))
+        .when(
+            F.col("c_custkey") % 300 == 103,
+            F.expr("substring(c_name, 1, length(c_name)-2)"),
+        )
+        .otherwise(F.col("c_name"))
+    )
     probes = prepare(
         cust.where(F.col("c_custkey") % 100 == 3).select(
-            F.col("c_custkey").alias("probe_id"), "c_name"
+            F.col("c_custkey").alias("probe_id"), probe_name.alias("c_name")
         ),
         cfg,
     )
@@ -416,7 +455,48 @@ def q_matcher_fuzzy_search(spark, sf):
     return search(base, probes, cfg, probe_id_col="probe_id")
 
 
+def q_matcher_jw_search(spark, sf):
+    """Jaro-Winkler matcher path with a corpus-wide hard oracle.
+
+    Kernel = ``jaro_duckdb`` (standard JW, bitwise-identical to
+    DuckDB's ``jaro_winkler_similarity``; see functions/similarity.py)
+    so the whole fuzzy plan — blocking joins, candidate merge, JW
+    verification, weighted score, top-5 window — hash-checks against
+    plain SQL. Budgets are set above any name length (trie_edit <=
+    min(len) <= 17 < 64), so the edit gate is provably non-binding and
+    the match set is exactly {pairs: jw >= 0.85}; the blocking contract
+    routes every such pair through the short-value fallback keys
+    (cutoff 2*64+1 > 17), i.e. recall is structural, and any dropped
+    pair would break the hash. The reference-parity strcmp95+LT kernel
+    stays golden-pinned and is exercised rows-only by
+    ``matcher_fuzzy_search``."""
+    from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
+    from fuzzy_matcher_spark.operators.matcher import prepare, search
+
+    cfg = MatchConfig(
+        fields={"c_name": FieldParams(64, 64, 1.0, "jaro_duckdb", 0.85)},
+        core=CoreParams(max_edits=64),
+    )
+    cust = _t(spark, sf, "customer")
+    base = prepare(cust.select(F.col("c_custkey").alias("id"), "c_name"), cfg)
+    probes = prepare(
+        cust.where(F.col("c_custkey") % 100 == 3).select(
+            F.col("c_custkey").alias("probe_id"),
+            F.concat(
+                F.expr("substring(c_name, 1, length(c_name)-1)"), F.lit("x")
+            ).alias("c_name"),
+        ),
+        cfg,
+    )
+    return search(base, probes, cfg, probe_id_col="probe_id")
+
+
 def q_substring_pairs(spark, sf):
+    """Winnowing + pairwise-LCS substring engine, projected to (a, b)
+    so the 60-gram equi-join SQL (same predicate: 'shares a common
+    substring of length >= 60') is an exact oracle — the suffix-array
+    twin carries the same oracle, giving both engines independent
+    hard checks."""
     from fuzzy_matcher_spark.operators.dedup_substring import (
         substring_candidates,
         substring_verify,
@@ -424,7 +504,9 @@ def q_substring_pairs(spark, sf):
 
     cfg = DedupConfig(min_substring=60)
     docs = _t(spark, sf, "documents")
-    return substring_verify(substring_candidates(docs, cfg), docs, cfg)
+    return substring_verify(substring_candidates(docs, cfg), docs, cfg).select(
+        "a", "b"
+    )
 
 
 def q_suffix_array_pairs(spark, sf):
@@ -468,6 +550,26 @@ def q_media_features(spark, sf):
     return feats.select(
         "media_id", "kind", "n_bytes", digest.alias("feature_digest")
     )
+
+
+def q_media_meta(spark, sf):
+    """Media-ingest plumbing, JVM columns only: the binary byte length
+    and typed-metadata extraction are SQL-expressible, so this half of
+    the multimodal path gets a hard oracle while the numpy featureizer
+    digest stays rows-only in `media_features`."""
+    media = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.element_at("meta", F.lit("src")).alias("src"),
+    )
+
 
 def q_minhash_band_index(spark, sf):
     sig = add_signatures(_t(spark, sf, "documents"), DEDUP_CFG)
@@ -540,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_dropped": q_dedup_dropped,
         "matcher_exact_search": q_matcher_exact_search,
         "matcher_lev_search": q_matcher_lev_search,
+        "matcher_jw_search": q_matcher_jw_search,
         "lev_pairs_clusters": q_lev_pairs_clusters,
         "matcher_fuzzy_search": q_matcher_fuzzy_search,
         "minhash_band_index": q_minhash_band_index,
@@ -550,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_array_pairs": q_suffix_array_pairs,
         "ngram_dup_clusters": q_ngram_dup_clusters,
         "media_features": q_media_features,
+        "media_meta": q_media_meta,
         "lsh_ann_topk": q_lsh_ann_topk,
     }
 
@@ -600,6 +704,27 @@ def _near_dup_clusters_sql() -> str:
         SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """
+
+
+# one SQL for both embedding-dup engines: brute force IS the contract,
+# and the LSH path must reproduce it exactly on this corpus (identical
+# planted vectors share every hyperplane bucket -> recall 1)
+_EMB_DUP_SQL = """
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT vec_id, v FROM e0
+      UNION ALL
+      SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 11 = 5
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+          >= 0.8
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -690,9 +815,14 @@ def oracle_sql() -> dict[str, str]:
             ON d.text = m.text
         """,
         "exact_dup_pairs": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 3
+            )
             SELECT a, b FROM (
               SELECT min(doc_id) OVER (PARTITION BY text) AS a, doc_id AS b
-              FROM documents)
+              FROM d)
             WHERE a <> b
         """,
         "token_stats": f"""
@@ -736,28 +866,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_keep_canonical": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
-        "embedding_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                     AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                  >= 0.8
-        """,
-        "embedding_dup_pairs_lsh": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                     AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.v, b.v) /
-                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                  >= 0.8
-        """,
+        "embedding_dup_pairs": _EMB_DUP_SQL,
+        "embedding_dup_pairs_lsh": _EMB_DUP_SQL,
         "events_sessions": """
             WITH g AS (
               SELECT user_id,
@@ -773,9 +883,14 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "dedup_dropped": """
-            SELECT doc_id FROM documents
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 3
+            )
+            SELECT doc_id FROM d
             EXCEPT
-            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            SELECT min(doc_id) AS doc_id FROM d GROUP BY text
         """,
         "events_json_props": """
             SELECT event_type, count(*) AS n,
@@ -789,13 +904,26 @@ def oracle_sql() -> dict[str, str]:
             WITH nb AS (
               SELECT c_custkey,
                      regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS nk
-              FROM customer)
+              FROM customer),
+            pr AS (
+              SELECT c_custkey AS probe_id,
+                     regexp_replace(lower(
+                       CASE WHEN c_custkey % 300 = 3 THEN c_name || 'zz'
+                            WHEN c_custkey % 300 = 103
+                              THEN substring(c_name, 1, length(c_name)-2)
+                            ELSE c_name END),
+                       '[^a-z0-9]+', '', 'g') AS pk
+              FROM customer WHERE c_custkey % 100 = 3)
             SELECT probe_id, id, score, rank FROM (
-              SELECT a.c_custkey AS probe_id, b.c_custkey AS id, 1.0 AS score,
-                     CAST(row_number() OVER (PARTITION BY a.c_custkey
+              SELECT p.probe_id, b.c_custkey AS id, 1.0 AS score,
+                     CAST(row_number() OVER (PARTITION BY p.probe_id
                                              ORDER BY b.c_custkey) AS INT) AS rank
-              FROM nb a JOIN nb b ON a.nk = b.nk
-              WHERE a.c_custkey % 100 = 3)
+              FROM pr p JOIN nb b
+                ON p.pk = b.nk
+                OR (length(b.nk) > 0 AND length(p.pk) > length(b.nk)
+                    AND starts_with(p.pk, b.nk))
+                OR (length(p.pk) > 0 AND length(b.nk) > length(p.pk)
+                    AND starts_with(b.nk, p.pk)))
             WHERE rank <= 5
         """,
         "customer_nation_agg": """
@@ -894,5 +1022,51 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM scored WHERE score >= 0.85)
             SELECT probe_id, id, score, rank FROM ranked WHERE rank <= 5
+        """,
+        "matcher_jw_search": """
+            WITH nb AS (
+              SELECT c_custkey,
+                     regexp_replace(lower(c_name), '[^a-z0-9]+', '', 'g') AS nk
+              FROM customer),
+            pr AS (
+              SELECT c_custkey AS probe_id,
+                     regexp_replace(lower(substring(c_name, 1, length(c_name)-1)
+                                          || 'x'),
+                                    '[^a-z0-9]+', '', 'g') AS pk
+              FROM customer WHERE c_custkey % 100 = 3),
+            scored AS (
+              SELECT p.probe_id, b.c_custkey AS id,
+                     jaro_winkler_similarity(p.pk, b.nk) AS score
+              FROM pr p CROSS JOIN nb b),
+            ranked AS (
+              SELECT probe_id, id, score,
+                     CAST(row_number() OVER (PARTITION BY probe_id
+                                             ORDER BY score DESC, id) AS INT)
+                       AS rank
+              FROM scored WHERE score >= 0.85)
+            SELECT probe_id, id, score, rank FROM ranked WHERE rank <= 5
+        """,
+        # same exact-Jaccard >= 0.8 + exact-pairs + CC contract as the
+        # MinHash flagship: the recursive-CTE clusters SQL is a full
+        # oracle for the deterministic modular-sampling engine too — a
+        # hash match here hard-proves its blocking recall
+        "ngram_dup_clusters": _near_dup_clusters_sql(),
+        # 'shares a >= 60-char substring' has an exact 60-gram
+        # equi-join formulation — identical predicate to the
+        # suffix-array twin, so both engines carry independent oracles
+        "substring_pairs": """
+            WITH g AS (
+              SELECT doc_id, unnest(list_transform(range(1, length(text) - 58),
+                             i -> text[i:i+59])) AS gram
+              FROM documents WHERE length(text) >= 60
+            )
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        """,
+        "media_meta": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   source AS src
+            FROM documents
         """,
     }

@@ -92,9 +92,20 @@ OCR_MULTI: dict[str, tuple[str, ...]] = {
 # Jaro-Winkler (strcmp95 / matchr-compatible)
 # ---------------------------------------------------------------------------
 
-def jaro_winkler(s1: str, s2: str, long_tolerance: bool = True) -> float:
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    long_tolerance: bool = True,
+    boost_digits: bool = False,
+) -> float:
     """strcmp95-compatible Jaro-Winkler; 0.0 if either side is empty
-    (golden: distance_tests.json 'Empty strings')."""
+    (golden: distance_tests.json 'Empty strings').
+
+    ``boost_digits=True`` removes strcmp95's digit exclusion from the
+    Winkler prefix boost — combined with ``long_tolerance=False`` this
+    is bitwise-identical to DuckDB's ``jaro_winkler_similarity``
+    (verified over 18k random string pairs), which is what the
+    ``jaro_duckdb`` kernel / oracle path uses."""
     len1, len2 = len(s1), len(s2)
     if len1 == 0 or len2 == 0:
         return 0.0
@@ -140,10 +151,11 @@ def jaro_winkler(s1: str, s2: str, long_tolerance: bool = True) -> float:
     ) / 3.0
 
     if weight > 0.7:
-        # Winkler prefix boost: up to first 4 agreeing non-digit chars
+        # Winkler prefix boost: up to first 4 agreeing chars (strcmp95
+        # additionally excludes digits; DuckDB/standard JW does not)
         limit = min(max_len, 4, len1, len2)
         i = 0
-        while i < limit and s1[i] == s2[i] and not s1[i].isdigit():
+        while i < limit and s1[i] == s2[i] and (boost_digits or not s1[i].isdigit()):
             i += 1
         if i:
             weight += i * 0.1 * (1.0 - weight)
@@ -188,10 +200,22 @@ def levenshtein_sim(s1: str, s2: str) -> float:
     return 1.0 - levenshtein(s1, s2) / max_len
 
 
+def jaro_winkler_duckdb(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler exactly as DuckDB computes it: no long-
+    string tolerance, prefix boost includes digits. Exists so one
+    oracle-aligned matcher query can hash-check the whole JW fuzzy
+    plan (join/merge/score/topk) against DuckDB corpus-wide; the
+    reference-parity ``jaro`` kernel (strcmp95 + LT, pinned by the
+    distance_tests.json goldens) stays the production default."""
+    return jaro_winkler(s1, s2, long_tolerance=False, boost_digits=True)
+
+
 def similarity(s1: str, s2: str, method: str) -> float:
     """CalculateSimilarity dispatcher (distance.go:19-38)."""
     if method == "jaro":
         return jaro_winkler(s1, s2, long_tolerance=True)
+    if method == "jaro_duckdb":
+        return jaro_winkler_duckdb(s1, s2)
     if method == "levenshtein":
         return levenshtein_sim(s1, s2)
     return 1.0  # "default" and anything else
@@ -275,6 +299,17 @@ def _levenshtein_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 levenshtein_sim_udf = _levenshtein_sim_udf.asNondeterministic()
 
 
+@F.pandas_udf(T.DoubleType())
+def _jaro_winkler_duckdb_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [jaro_winkler_duckdb(x or "", y or "") for x, y in zip(a, b)],
+        dtype="float64",
+    )
+
+
+jaro_winkler_duckdb_udf = _jaro_winkler_duckdb_udf.asNondeterministic()
+
+
 def similarity_udf(method: str) -> Callable[..., Column]:
     """Factory: a pandas UDF computing ``similarity(a, b, method)``.
 
@@ -283,6 +318,8 @@ def similarity_udf(method: str) -> Callable[..., Column]:
     """
     if method == "jaro":
         return lambda a, b: jaro_winkler_udf(a, b)
+    if method == "jaro_duckdb":
+        return lambda a, b: jaro_winkler_duckdb_udf(a, b)
     if method == "levenshtein":
         return lambda a, b: levenshtein_sim_udf(a, b)
     return lambda a, b: F.lit(1.0)

@@ -181,7 +181,25 @@ def _field_candidates(
         )
         .select(probe_id_col, id_col, F.lit(0).alias("edits"))
     )
-    exact = exact.union(completion)
+    # mirror direction (0 edits): ProcessNode emits a match at ANY
+    # end-of-string node passed mid-walk with the current edit count
+    # (utils.go:30-43 step 3) — the exact-prefix walk reaches a stored
+    # value that is a proper prefix of the probe at NumEdits == 0, so
+    # it matches even at all-zero budgets / for invalid probes (the
+    # probe's unconsumed suffix is the free query remainder). Same
+    # prefix-1 equi-key hash-join shape as the completion path.
+    mirror = (
+        b.where(F.length("_bn") > 0)
+        .withColumn("_k1", F.substring("_bn", 1, 1))
+        .join(
+            bc(pall.withColumn("_k1", F.substring("_pn", 1, 1))), "_k1"
+        )
+        .where(
+            F.col("_pn").startswith(F.col("_bn")) & (F.col("_bn") != F.col("_pn"))
+        )
+        .select(probe_id_col, id_col, F.lit(0).alias("edits"))
+    )
+    exact = exact.union(completion).union(mirror)
     if max_edits <= 0:
         return exact
 

@@ -114,3 +114,29 @@ def test_kernels_on_spark(spark):
         assert abs(r.jw - jaro_winkler(r.a, r.b)) < 1e-12
         assert abs(r.lev - levenshtein_sim(r.a, r.b)) < 1e-12
         assert r.edits == trie_edit_distance(r.a, r.b)
+
+
+def test_jaro_winkler_duckdb_bitwise_parity():
+    """jaro_winkler_duckdb must be bitwise-identical to DuckDB's
+    jaro_winkler_similarity — it exists solely so the matcher_jw_search
+    driver query can hash-check the JW fuzzy plan corpus-wide."""
+    import random
+
+    import duckdb
+
+    from fuzzy_matcher_spark.functions.similarity import jaro_winkler_duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    cases = [("", ""), ("", "a"), ("abc", "abc"), ("john", "jon"),
+             ("customer000000003", "customer000000915")]
+    for alpha in ("abcdefg0123", "ab", "abcdefghijklmnop0123456789"):
+        for _ in range(1500):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+            cases.append((a, b))
+    for a, b in cases:
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler_duckdb(a, b) == want, (a, b)

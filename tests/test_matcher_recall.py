@@ -62,9 +62,14 @@ def _oracle(probes):
                     # zero budgets still free-complete stored values
                     # extending the probe (BFS beyond the word end
                     # increments neither edits nor depth,
-                    # breadth_first_search.go:62-73)
+                    # breadth_first_search.go:62-73) AND still emit
+                    # stored values that are proper prefixes of the
+                    # probe (end-of-string nodes passed mid-walk,
+                    # utils.go:30-43 step 3)
                     if pvals[f] == mvals[f] or (
                         pvals[f] and mvals[f].startswith(pvals[f])
+                    ) or (
+                        mvals[f] and pvals[f].startswith(mvals[f])
                     ):
                         edits[f] = 0
                     continue
@@ -138,3 +143,29 @@ def test_recall_vs_bruteforce_oracle(spark, blocking):
     extra = got - want
     precision = 1 - len(extra) / max(len(got), 1)
     assert precision >= 0.99, f"precision {precision:.4f}; extra {sorted(extra)[:10]}"
+
+
+def test_zero_budget_stored_prefix_mirror(spark):
+    """A stored value that is a proper prefix of the probe matches at
+    all-zero budgets: the exact-prefix walk passes the stored value's
+    end-of-string node mid-walk with NumEdits == 0 and ProcessNode
+    emits it (utils.go:30-43 step 3). Both directions must hold."""
+    from fuzzy_matcher_spark.config import CoreParams, FieldParams, MatchConfig
+    from fuzzy_matcher_spark.operators.matcher import prepare
+
+    cfg = MatchConfig(
+        fields={"name": FieldParams(0, 0, 1.0, "default", 1.0)},
+        core=CoreParams(max_edits=0),
+    )
+    base = prepare(
+        spark.createDataFrame(
+            [(1, "chris"), (2, "christopher"), (3, "bob")], "id long, name string"
+        ),
+        cfg,
+    )
+    probes = prepare(
+        spark.createDataFrame([(10, "christopher")], "probe_id long, name string"),
+        cfg,
+    )
+    got = {r.id for r in search(base, probes, cfg).collect()}
+    assert got == {1, 2}  # stored prefix (mirror) + exact
