@@ -175,7 +175,18 @@ def lsh_topk(
     bits: int = 12,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank."""
+    """Approximate top-k: hyperplane-LSH bucket join + exact re-rank.
+
+    Shuffle discipline (same semi-join reduction as
+    dedup_minhash.verify_pairs): the bucket index carries IDS ONLY —
+    an index row per (id, table) that also carried the embedding would
+    ship every vector through the bucket exchange ``tables`` times and
+    once more through the dedup. Candidates are deduped as narrow
+    (probe_id, id) rows first; corpus vectors join back once onto the
+    candidate-sized set, and probe vectors (small by contract) join
+    back as a broadcast. Each embedding therefore crosses the wire
+    O(candidates) instead of O(tables * index).
+    """
     buckets = hyperplane_buckets_udf(dim, tables, bits, seed)
 
     def index(df: DataFrame, idc: str) -> DataFrame:
@@ -183,23 +194,28 @@ def lsh_topk(
             df.withColumn("_bk", buckets(F.col(vec_col)))
             .select(
                 F.col(idc),
-                F.col(vec_col),
                 F.posexplode("_bk").alias("table_id", "bucket"),
             )
         )
 
-    ci = index(corpus, id_col)
-    pi = index(probes, probe_id_col).withColumnRenamed(vec_col, "_pv")
     cand = (
-        ci.join(pi, ["table_id", "bucket"])
+        index(corpus, id_col)
+        .join(index(probes, probe_id_col), ["table_id", "bucket"])
         .where(F.col(id_col) != F.col(probe_id_col))
-        .select(probe_id_col, id_col, vec_col, "_pv")
+        .select(probe_id_col, id_col)
         .dropDuplicates([probe_id_col, id_col])
     )
-    scored = cand.withColumn(
-        "cosine",
-        dot_col(vec_col, "_pv") / (norm_col(vec_col) * norm_col("_pv")),
-    ).select(probe_id_col, id_col, "cosine")
+    cv = corpus.select(F.col(id_col), F.col(vec_col))
+    pv = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pv"))
+    scored = (
+        cand.join(cv, id_col)
+        .join(F.broadcast(pv), probe_id_col)
+        .withColumn(
+            "cosine",
+            dot_col(vec_col, "_pv") / (norm_col(vec_col) * norm_col("_pv")),
+        )
+        .select(probe_id_col, id_col, "cosine")
+    )
     return topk_per_group(
         scored, [probe_id_col], [F.desc("cosine"), F.col(id_col)], k
     )

@@ -80,12 +80,30 @@ def _jaccard_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Serie
 jaccard_udf = _jaccard_udf.asNondeterministic()
 
 
+_PARTITION_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — free (no job, no RDD
+    materialization). Scan-based, so it UNDERestimates plans whose
+    arrays expand downstream; callers must treat it as an input-volume
+    proxy only, never as the size of a derived wide relation."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition only when the input is under-partitioned
     (e.g. one small parquet file locally). At cluster scale the scan
     already carries enough partitions and this is a no-op — we never
-    add an unconditional shuffle in front of the UDF hop."""
+    add an unconditional shuffle in front of the UDF hop.
+
+    ``df.rdd.getNumPartitions()`` forces physical planning on the
+    driver, so it is only consulted when the plan-stats estimate says
+    the input COULD be under-split: an input of >= target *
+    maxPartitionBytes necessarily scans into >= target splits."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if plan_size_bytes(df) >= target * _PARTITION_BYTES:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -208,6 +226,17 @@ def verify_pairs(
     )
 
 
+# above this input-scan estimate, minhash_dedup eagerly materializes
+# the persisted signatures so join planning sees exact
+# InMemoryRelation sizes. 32 MiB of raw text is ~30k web docs, whose
+# wide signature relation (~2 KiB/doc: 128 longs + shingle hashes) is
+# the smallest that could plausibly be mis-broadcast; below it a wrong
+# broadcast is <= tens of MiB (harmless), so the materialization
+# barrier — measured ~1.9s of the sf0.1 flagship wall (r2 regression)
+# — is skipped.
+_EAGER_STATS_MIN_BYTES = 32 << 20
+
+
 def minhash_dedup(
     df: DataFrame,
     cfg: DedupConfig | None = None,
@@ -215,18 +244,29 @@ def minhash_dedup(
     id_col: str = "doc_id",
     include_exact: bool = True,
     exact_verify: bool = True,
+    eager_stats: bool | None = None,
 ) -> DataFrame:
     """End-to-end: docs -> (id, cluster_id). cluster_id = min id of the
-    near-duplicate connected component; singletons map to themselves."""
+    near-duplicate connected component; singletons map to themselves.
+
+    ``eager_stats``: signatures feed three consumers (band index +
+    both verify sides); they are always persisted so the pandas-UDF
+    hop runs once. Materializing them EAGERLY additionally gives
+    downstream join planning exact InMemoryRelation stats — scan-based
+    estimates miss array expansion and once led the planner to
+    broadcast the wide table (driver OOM at 300k docs/8g; see
+    verify_pairs docstring) — but costs a full materialization
+    barrier, which at small scale dominates (the r2 flagship
+    regression). Default (None): eager iff the input-plan estimate
+    >= _EAGER_STATS_MIN_BYTES, i.e. exactly when a mis-planned
+    broadcast could be large enough to matter."""
     cfg = cfg or DedupConfig()
     cfg.validate()
-    # signatures feed three consumers (band index + both verify sides):
-    # persist so the pandas-UDF hop runs once, and materialize EAGERLY
-    # so downstream static plans see exact InMemoryRelation stats —
-    # scan-based estimates miss array expansion and once led the
-    # planner to broadcast the wide table (see verify_pairs docstring)
+    if eager_stats is None:
+        eager_stats = plan_size_bytes(df) >= _EAGER_STATS_MIN_BYTES
     sig_df = add_signatures(df, cfg, text_col, id_col).persist()
-    sig_df.count()
+    if eager_stats:
+        sig_df.count()
     pairs = candidate_pairs(sig_df, cfg, id_col)
     verified = verify_pairs(pairs, sig_df, cfg, id_col, exact=exact_verify)
     edge_df = verified.select("a", "b")

@@ -86,7 +86,16 @@ def ngram_dedup(
     cfg = cfg or DedupConfig()
     hashes, pairs = ngram_candidates(df, cfg, text_col, id_col, sample_mod)
     hashes = hashes.persist()
-    hashes.count()  # exact stats for the verify joins (never broadcast wide side)
+    # exact stats for the verify joins (never broadcast the wide side);
+    # conditional like minhash_dedup — the barrier only pays for itself
+    # when a mis-planned broadcast could be large
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        _EAGER_STATS_MIN_BYTES,
+        plan_size_bytes,
+    )
+
+    if plan_size_bytes(df) >= _EAGER_STATS_MIN_BYTES:
+        hashes.count()
     verified = ngram_verify(pairs, hashes, cfg, id_col).select("a", "b")
     if include_exact:
         verified = verified.union(exact_pairs(df, text_col, id_col)).distinct()

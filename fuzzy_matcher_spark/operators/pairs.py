@@ -12,6 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# above this cap the single-row flattened-combos array (O(cap^2)
+# structs) switches to a two-step explode with O(cap) per-row memory
+_FLAT_COMBOS_MAX_CAP = 256
+
 
 def capped_self_join_pairs(
     idx: DataFrame,
@@ -30,6 +34,15 @@ def capped_self_join_pairs(
     converges in O(1) rounds. The previous self-join formulation
     shuffled + sorted the band index twice more and re-evaluated the
     window per consumer (measured 73s -> ~25s at 12.8M index rows).
+
+    Memory shape: with cap <= _FLAT_COMBOS_MAX_CAP the n*(n-1)/2
+    combination structs of one bucket materialize as a single in-row
+    array before explode (fine at dedup's cap 64, ~2k structs). Larger
+    caps (ann.lsh_dup_pairs passes 2048 => ~2.1M structs, tens of MB
+    in ONE row) switch to a two-step explode — posexplode the sorted
+    id array, then explode only each element's suffix slice — which
+    bounds per-row materialization to O(cap) instead of O(cap^2) at
+    the cost of carrying the id array through one extra explode.
     """
     w = Window.partitionBy(*bucket_keys)
     tagged = idx.select(
@@ -40,25 +53,41 @@ def capped_self_join_pairs(
     )
 
     ids = F.sort_array(F.collect_list(id_col))
-    combos = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size("_ids") - 1),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("_ids")),
-                lambda j: F.struct(
-                    F.element_at("_ids", i).alias("a"),
-                    F.element_at("_ids", j).alias("b"),
-                ),
-            ),
-        )
-    )
-    pairs_small = (
+    grouped = (
         tagged.where((F.col("_bn") <= cap) & (F.col("_bn") >= 2))
         .groupBy(*bucket_keys)
         .agg(ids.alias("_ids"))
-        .select(F.explode(combos).alias("_p"))
-        .select(F.col("_p.a"), F.col("_p.b"))
     )
+    if cap <= _FLAT_COMBOS_MAX_CAP:
+        combos = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ids") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("_ids")),
+                    lambda j: F.struct(
+                        F.element_at("_ids", i).alias("a"),
+                        F.element_at("_ids", j).alias("b"),
+                    ),
+                ),
+            )
+        )
+        pairs_small = (
+            grouped.select(F.explode(combos).alias("_p"))
+            .select(F.col("_p.a"), F.col("_p.b"))
+        )
+    else:
+        n = F.size("_ids")
+        pairs_small = (
+            grouped.select(
+                F.col("_ids"), F.posexplode("_ids").alias("_i", "a")
+            )
+            .select(
+                "a",
+                F.explode(
+                    F.slice(F.col("_ids"), F.col("_i") + 2, n - F.col("_i") - 1)
+                ).alias("b"),
+            )
+        )
 
     pairs_big = (
         tagged.where((F.col("_bn") > cap) & (F.col(id_col) != F.col("_hub")))

@@ -125,16 +125,41 @@ def suffix_substring_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 20,
+    max_anchors_per_doc: int = 256,
 ) -> DataFrame:
     """(a, b) doc pairs sharing a substring >= cfg.min_substring, via
-    anchor-bucketed generalized suffix arrays."""
+    anchor-bucketed generalized suffix arrays.
+
+    Shuffle-amplification bound: the full document text is replicated
+    into one applyInPandas bucket PER ANCHOR, so an uncapped 10 KB doc
+    with winnow window ~41 would amplify the corpus ~100x into the
+    shuffle. ``max_anchors_per_doc`` caps replication: docs keep their
+    ``k`` SMALLEST anchor fingerprints (array_sort + slice — the
+    winnowing-consistent choice: a substring shared by two docs yields
+    the SAME fingerprint in both, and min-rank selection keeps
+    correlated subsets, exactly the MinHash argument), so shuffle
+    volume is <= k * corpus bytes by construction. Detection of a
+    shared run then requires its anchor to survive the cap in BOTH
+    docs — exact for docs under the cap (the sf0.01 oracle corpus is;
+    the 60-gram equi-join SQL stays a full oracle), monotonically
+    recall-degrading above it. Dropped-anchor counts are observable
+    via ``suffix_anchor_cap_stats`` (same never-silent contract as
+    operators.pairs.capped_bucket_stats); the winnowing twin
+    (dedup_substring.py), which ships texts only for verified
+    candidate pairs, remains the preferred engine when buckets are
+    small."""
     cfg = cfg or DedupConfig()
     L = cfg.min_substring
     window = max(L - ngram + 1, 1)
+    anchors = F.slice(
+        F.array_sort(anchors_udf(ngram, window)(F.col(text_col))),
+        1,
+        max_anchors_per_doc,
+    )
     anchored = df.select(
         F.col(id_col),
         F.col(text_col),
-        F.explode(anchors_udf(ngram, window)(F.col(text_col))).alias("anchor"),
+        F.explode(anchors).alias("anchor"),
     )
 
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -151,4 +176,39 @@ def suffix_substring_pairs(
         anchored.groupBy("anchor")
         .applyInPandas(per_bucket, schema="a long, b long")
         .distinct()
+    )
+
+
+def suffix_anchor_cap_stats(
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+    ngram: int = 20,
+    max_anchors_per_doc: int = 256,
+) -> DataFrame:
+    """Observability for the per-doc anchor cap: how many docs exceed
+    it and how many anchors (text replicas) the cap drops. One
+    aggregation; pipelines record it next to capped_bucket_stats —
+    the cap is never silent."""
+    cfg = cfg or DedupConfig()
+    window = max(cfg.min_substring - ngram + 1, 1)
+    n = F.size(anchors_udf(ngram, window)(F.col(text_col)))
+    zero = F.lit(0).cast("long")
+    return df.select(n.alias("_n")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.max("_n").cast("long"), zero).alias("max_anchors"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") > max_anchors_per_doc, 1).otherwise(0))
+            .cast("long"),
+            zero,
+        ).alias("n_capped_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_n") > max_anchors_per_doc,
+                    F.col("_n") - max_anchors_per_doc,
+                ).otherwise(0)
+            ).cast("long"),
+            zero,
+        ).alias("anchors_dropped_by_cap"),
     )

@@ -36,3 +36,39 @@ def test_elect_and_keep_canonical(spark):
     assert canon == {1: 2, 10: 10}
     kept = sorted(r.doc_id for r in keep_canonical(clusters, docs).collect())
     assert kept == [2, 10]
+
+
+def test_capped_pairs_large_cap_path_equivalent(spark):
+    """The O(cap)-per-row two-step explode (cap > 256) must emit the
+    same pair set as the flattened-combos path (cap <= 256), including
+    star pairs for buckets above the cap."""
+    import fuzzy_matcher_spark.operators.pairs as P
+    from pyspark.sql import functions as F
+
+    rows = [("k1", i) for i in range(9)] + [("k2", 100), ("k2", 101)] + [
+        ("k3", 207), ("k3", 203), ("k3", 205), ("k3", 211)
+    ] + [("solo", 42)]
+    idx = spark.createDataFrame(rows, "bk string, doc_id long")
+
+    def pairs_with(cap):
+        return {
+            (r.a, r.b)
+            for r in P.capped_self_join_pairs(idx, ["bk"], "doc_id", cap).collect()
+        }
+
+    small = pairs_with(16)                      # flattened-combos path
+    orig = P._FLAT_COMBOS_MAX_CAP
+    try:
+        P._FLAT_COMBOS_MAX_CAP = 1              # force two-step explode
+        big = pairs_with(16)
+    finally:
+        P._FLAT_COMBOS_MAX_CAP = orig
+    assert small == big and all(a < b for a, b in small)
+    # k1 has 9*8/2=36 pairs, k3 has 6, k2 has 1
+    assert len(small) == 43
+    assert {(203, 205), (203, 207), (203, 211), (205, 207)} <= small
+
+    # capped bucket (k1 > cap=4) -> star pairs keep connectivity
+    capped = pairs_with(4)
+    assert {(100, 101)} <= capped
+    assert {(0, i) for i in range(1, 9)} <= capped  # k1 star, hub=0
