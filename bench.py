@@ -32,6 +32,29 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def host_speed_probe() -> dict:
+    """Host-condition stamp for every bench JSON. This sandbox is
+    multi-tenant with external contention (r2: identical code measured
+    1.3-3x apart across captures; 'quiet window' claims were not
+    reproducible). Two context numbers make each capture
+    self-describing: the 1/5/15-min load averages, and ``calib_sec`` —
+    wall time of a fixed single-thread numpy kernel (~0.25s quiet).
+    Comparisons across rounds should only trust captures whose
+    calib_sec agree within ~20%."""
+    import numpy as np
+
+    a = np.random.RandomState(0).standard_normal((384, 384))
+    t0 = time.perf_counter()
+    for _ in range(60):
+        a = np.tanh(a @ a.T / 384.0)
+    calib = time.perf_counter() - t0
+    l1, l5, l15 = os.getloadavg()
+    return {
+        "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
+        "calib_sec": round(calib, 3),
+    }
+
+
 def build_suite():
     """name -> callable(spark) returning a row count (forces the plan)."""
     from pyspark.sql import functions as F
@@ -87,7 +110,12 @@ def run_suite(master: str, shuffle: int | None = None):
     # warm up: spawn Python workers on every core + compile the Arrow/
     # pandas-UDF path and codegen, so timings measure the operators
     from fuzzy_matcher_spark.config import DedupConfig
-    from fuzzy_matcher_spark.operators.dedup_minhash import add_signatures
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        add_signatures,
+        minhash_dedup,
+    )
+
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
 
     warm = spark.range(0, 2000).selectExpr(
         "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
@@ -96,6 +124,13 @@ def run_suite(master: str, shuffle: int | None = None):
     add_signatures(warm, DedupConfig()).agg(
         F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
     ).collect()
+    # one untimed full-flagship pass on the synthetic docs: JIT/codegen
+    # of the whole dedup plan shape (signatures -> bands -> capped
+    # pairs -> two-pass verify -> CC) ramps over several executions
+    # (measured at sf0.1: rep1 ~8-10s, steady state ~4s with identical
+    # plans); a long-running cluster job amortizes this entirely, so
+    # the suite warms the shape once like run_scaling already does
+    minhash_dedup(warm, cfg).count()
     suite["exact_dedup_docs"](spark)
     # best-of-3: the first execution of each distinct plan shape pays
     # one-time codegen/planning cost (~2x), and this sandbox shows
@@ -154,7 +189,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     )
     if len(levels) != 2:
         raise SystemExit("SPARK_GRAFT_SCALE_LEVELS must name exactly two levels")
-    out = {"levels": list(levels)}
+    out = {"levels": list(levels), "host_before": host_speed_probe()}
     for n in levels:
         spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
         warm = spark.range(0, 2000).selectExpr(
@@ -184,6 +219,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
         / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
     )
     out["scaling_efficiency_N_to_4N"] = round(eff, 4)
+    out["host_after"] = host_speed_probe()
     print(json.dumps(out))
 
 
@@ -296,6 +332,7 @@ def main():
         run_kernel_scaling()
         return
 
+    probe_before = host_speed_probe()
     timings, _, n_docs = run_suite(f"local[{CPUS}]")
     total = round(sum(timings.values()), 3)
     print(
@@ -310,6 +347,8 @@ def main():
                 "docs_per_sec_minhash_dedup": round(
                     n_docs / timings["minhash_dedup_docs"], 2
                 ),
+                "host_before": probe_before,
+                "host_after": host_speed_probe(),
             }
         )
     )
