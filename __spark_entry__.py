@@ -33,6 +33,7 @@ from fuzzy_matcher_spark.functions.textstats import (
     fingerprint_col,
     lang_id_col,
     quality_score_col,
+    repetition_stats_cols,
     token_count_col,
 )
 from fuzzy_matcher_spark.functions.shingles import shingles_col
@@ -125,6 +126,38 @@ def q_lang_id(spark, sf):
 def q_quality_score(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", quality_score_col("text").alias("quality")
+    )
+
+
+def q_repetition_stats(spark, sf):
+    from fuzzy_matcher_spark.functions.shingles import tokens_col
+
+    base = _t(spark, sf, "documents").withColumn("_toks", tokens_col("text"))
+    stats = repetition_stats_cols(F.col("_toks"))
+    return base.select(
+        "doc_id", *[c.alias(name) for name, c in stats.items()]
+    )
+
+
+# Gopher/RefinedWeb-style keep/drop thresholds (tuned non-vacuous on
+# the sf0.01 corpus: every rule fires; ~40% keep)
+_QF_MIN_TOKENS = 25
+_QF_MIN_DISTINCT = 0.35
+_QF_MAX_TOP_FRAC = 0.10
+_QF_MAX_DUP_GRAM = 0.02
+
+
+def q_quality_filter(spark, sf):
+    stats = q_repetition_stats(spark, sf)
+    reason = (
+        F.when(F.col("n_tokens") < _QF_MIN_TOKENS, "short")
+        .when(F.col("distinct_ratio") < _QF_MIN_DISTINCT, "low_diversity")
+        .when(F.col("top_token_frac") > _QF_MAX_TOP_FRAC, "top_token")
+        .when(F.col("dup_gram_frac") > _QF_MAX_DUP_GRAM, "repetition")
+        .otherwise("ok")
+    )
+    return stats.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
 
 
@@ -626,6 +659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "shingle_count": q_shingle_count,
         "lev_pairs_parts": q_lev_pairs_parts,
         "tpch_q1": q_tpch_q1,
@@ -765,6 +800,46 @@ def oracle_sql() -> dict[str, str]:
         FROM t
     """
 
+    # repetition metrics: int/int divisions and the 1.0-x subtraction
+    # are single correctly-rounded double ops in both engines;
+    # thresholds cast to DOUBLE so DuckDB never compares via DECIMAL
+    rep_stats_body = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        )
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) > 0
+               THEN len(list_distinct(toks)) / len(toks)
+               ELSE 0.0 END AS distinct_ratio,
+          CASE WHEN len(toks) > 0
+               THEN list_max(list_transform(list_distinct(toks),
+                        w -> len(list_filter(toks, x -> x = w)))) / len(toks)
+               ELSE 0.0 END AS top_token_frac,
+          CASE WHEN len(toks) >= 3
+               THEN 1.0 - len(list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' '))))
+                    / (len(toks) - 2)
+               ELSE 0.0 END AS dup_gram_frac
+        FROM t
+    """
+    quality_filter = f"""
+        WITH s AS ({rep_stats_body}),
+        r AS (
+          SELECT doc_id,
+            CASE
+              WHEN n_tokens < 25 THEN 'short'
+              WHEN distinct_ratio < CAST(0.35 AS DOUBLE) THEN 'low_diversity'
+              WHEN top_token_frac > CAST(0.10 AS DOUBLE) THEN 'top_token'
+              WHEN dup_gram_frac > CAST(0.02 AS DOUBLE) THEN 'repetition'
+              ELSE 'ok'
+            END AS reason
+          FROM s
+        )
+        SELECT doc_id, reason, reason = 'ok' AS keep FROM r
+    """
+
     shingles = f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -834,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": lang_case,
         "quality_score": quality,
+        "repetition_stats": rep_stats_body,
+        "quality_filter": quality_filter,
         "shingle_count": shingles,
         "lev_pairs_parts": """
             SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,

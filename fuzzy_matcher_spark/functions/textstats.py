@@ -92,3 +92,66 @@ def quality_score_col(text: Column | str) -> Column:
 def fingerprint_col(text: Column | str) -> Column:
     """md5 hex of the normalized text (stable content fingerprint)."""
     return F.md5(normalize_col(text).cast("binary"))
+
+
+def max_token_run_col(toks: Column) -> Column:
+    """Count of the most frequent token, computed as the longest equal
+    run of the SORTED token array — a single O(n log n) narrow
+    expression (no explode/shuffle; repetition is a per-row property,
+    so a corpus-wide token shuffle would be pure waste at scale)."""
+    sorted_toks = F.array_sort(toks)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        cur2 = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            cur2.alias("cur"),
+            F.greatest(acc["best"], cur2).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, acc0, merge, lambda acc: acc["best"])
+
+
+def dup_gram_frac_col(toks: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram positions occupied by a repeated n-gram
+    (Gopher / RefinedWeb-style repetition signal): 1 - distinct/total
+    over the sliding n-gram window; 0.0 for docs shorter than n
+    tokens. Same gram expression as shingles.word_shingles_from_tokens
+    so the DuckDB oracle can mirror it exactly."""
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), sz - F.lit(n)),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    total = (sz - F.lit(n - 1)).cast("double")
+    return F.when(
+        sz >= n,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats_cols(toks: Column, gram_n: int = 3) -> dict[str, Column]:
+    """Per-doc repetition metrics over a materialized token-array
+    column (two-projection pattern — pass a real column, not the
+    inlined tokenizer; see shingles.add_shingles)."""
+    sz = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    zero = F.lit(0.0)
+    return {
+        # NULL text -> NULL token array; report 0 tokens so the
+        # quality filter classifies it as 'short' instead of NULL-
+        # propagating through every threshold
+        "n_tokens": F.coalesce(sz.cast("long"), F.lit(0).cast("long")),
+        "distinct_ratio": F.when(sz > 0, nd.cast("double") / sz).otherwise(zero),
+        "top_token_frac": F.when(
+            sz > 0, max_token_run_col(toks).cast("double") / sz
+        ).otherwise(zero),
+        "dup_gram_frac": dup_gram_frac_col(toks, gram_n),
+    }
