@@ -161,6 +161,40 @@ def q_quality_filter(spark, sf):
     )
 
 
+# deterministic raw-url synthesis from (doc_id, source) — VALID IN
+# BOTH ENGINES (concat / CASE / cast only), exercising every
+# canonicalization rule: scheme case, default vs explicit port, empty
+# path, tracking params, param order, fragments, schemeless urls
+URL_SYNTH_SQL = """
+    CASE WHEN doc_id % 11 = 10
+         THEN concat('WWW.Example.COM/NoScheme/', cast(doc_id as string))
+         ELSE concat(
+           CASE WHEN doc_id % 4 = 2 THEN 'HTTP://' ELSE 'HTTPS://' END,
+           upper(source), '.Example.COM',
+           CASE WHEN doc_id % 5 = 0
+                THEN CASE WHEN doc_id % 4 = 2 THEN ':80' ELSE ':443' END
+                WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
+           CASE WHEN doc_id % 3 = 0 THEN ''
+                ELSE concat('/Docs/', cast(doc_id as string)) END,
+           CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+                ELSE '?z=9&utm_campaign=x' END,
+           CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
+    END
+"""
+
+
+def q_url_normalize(spark, sf):
+    from fuzzy_matcher_spark.functions.urls import host_col, url_normalize_col
+
+    d = _t(spark, sf, "documents").withColumn("url", F.expr(URL_SYNTH_SQL))
+    return d.select(
+        "doc_id",
+        "url",
+        url_normalize_col("url").alias("url_norm"),
+        host_col("url").alias("host"),
+    )
+
+
 def q_shingle_count(spark, sf):
     from fuzzy_matcher_spark.functions.shingles import add_shingles
 
@@ -661,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "url_normalize": q_url_normalize,
         "shingle_count": q_shingle_count,
         "lev_pairs_parts": q_lev_pairs_parts,
         "tpch_q1": q_tpch_q1,
@@ -840,6 +875,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, reason, reason = 'ok' AS keep FROM r
     """
 
+    # independent DuckDB implementation of the url canonical grammar
+    # (functions/urls.py docstring); raw urls built by the SAME
+    # synthesis expression the Spark query uses
+    url_normalize = f"""
+        WITH raw AS (
+          SELECT doc_id, trim({URL_SYNTH_SQL}) AS url FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+              AS scheme,
+            lower(regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+            regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+            regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM raw
+        ), norm AS (
+          SELECT doc_id, url, scheme,
+            regexp_replace(hostport, ':[0-9]*$', '') AS host,
+            regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+            CASE WHEN p = '' THEN '/' ELSE p END AS path,
+            array_to_string(list_sort(list_filter(string_split(q, '&'),
+              x -> len(x) > 0 AND NOT regexp_matches(x,
+                   '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&') AS cq
+          FROM parts
+        )
+        SELECT doc_id, url,
+          CASE WHEN scheme = '' THEN lower(url)
+               ELSE concat(scheme, '://', host,
+                 CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443')
+                      THEN '' ELSE concat(':', port) END,
+                 path,
+                 CASE WHEN cq = '' THEN '' ELSE concat('?', cq) END)
+          END AS url_norm,
+          host
+        FROM norm
+    """
+
     shingles = f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -911,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": quality,
         "repetition_stats": rep_stats_body,
         "quality_filter": quality_filter,
+        "url_normalize": url_normalize,
         "shingle_count": shingles,
         "lev_pairs_parts": """
             SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
