@@ -48,11 +48,50 @@ def host_speed_probe() -> dict:
     for _ in range(60):
         a = np.tanh(a @ a.T / 384.0)
     calib = time.perf_counter() - t0
+    # fresh-allocation fault probe: the matmul is cache-resident and
+    # blind to this sandbox's lazy-VM page-fault stalls (see
+    # warm_guest_memory); ~0.02s when memory is warm/healthy, seconds
+    # when allocations hit the slow backing store
+    d = np.empty(8_388_608, dtype=np.int64)  # 64 MiB
+    t0 = time.perf_counter()
+    d[::512] = 1
+    fault = time.perf_counter() - t0
+    del d
     l1, l5, l15 = os.getloadavg()
     return {
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
         "calib_sec": round(calib, 3),
+        "fault_sec": round(fault, 3),
     }
+
+
+def warm_guest_memory(gb: float | None = None) -> dict:
+    """Touch-and-hold `gb` GiB once so benchmarks measure compute, not
+    the sandbox's lazy VM memory.
+
+    Measured on this host: the FIRST touch of each guest-physical page
+    is served from a slow backing store at 0.01-1 GB/s (about 20-200us
+    per 4 KiB fault — 100-1000x a normal anonymous fault), while
+    already-materialized pages fault at normal speed and steady-state
+    bandwidth is ~20 GB/s. Once touched, pages stay materialized even
+    after the guest frees them, so ONE warm pass fixes every later
+    JVM-heap growth, Arrow batch, and shuffle buffer — without it, the
+    same Spark job varies 10x run-to-run (e.g. 82s vs 807s) as it
+    faults fresh guest-physical memory mid-run. A single large held
+    allocation guarantees distinct physical pages (touch-and-free
+    loops may just recycle the already-warm free-list head)."""
+    gb = gb if gb is not None else float(os.environ.get("SPARK_GRAFT_WARM_GB", "12"))
+    if gb <= 0:
+        return {"warmed_gb": 0}
+    import numpy as np
+
+    n = int(gb * (1 << 30) // 8)
+    t0 = time.perf_counter()
+    a = np.empty(n, dtype=np.int64)
+    a[:: 512] = 1  # one touch per 4 KiB page
+    dt = time.perf_counter() - t0
+    del a
+    return {"warmed_gb": gb, "sec": round(dt, 1), "gb_per_sec": round(gb / dt, 2)}
 
 
 def build_suite():
@@ -189,28 +228,89 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     )
     if len(levels) != 2:
         raise SystemExit("SPARK_GRAFT_SCALE_LEVELS must name exactly two levels")
-    out = {"levels": list(levels), "host_before": host_speed_probe()}
+    # ALTERNATE the levels across reps and take per-level min: this
+    # multi-tenant host shows minutes-long external CPU bursts (r2/r3
+    # captures of identical code 1.3-3x apart), and alternation makes
+    # a burst hit both levels symmetrically instead of poisoning
+    # whichever level it overlapped; per-rep calib stamps make every
+    # rep self-describing
+    # a rep is "quiet" when the single-thread calib probe agrees with
+    # the unloaded baseline (~0.13-0.17s here) BOTH before and after
+    # the timed run — external bursts last minutes, so a before-only
+    # stamp misses bursts that arrive mid-run (observed: 81.8s vs
+    # 807s for the identical rep, before-calib quiet in both)
+    quiet_thresh = float(os.environ.get("SPARK_GRAFT_SCALE_CALIB_QUIET", "0.22"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "6"))
+    want_quiet = int(os.environ.get("SPARK_GRAFT_SCALE_QUIET_REPS", "2"))
+    # max seconds to WAIT for external bursts to pass before each rep
+    # (this host shows minutes-long load-20+ bursts; measuring through
+    # one wastes a whole rep)
+    max_wait = int(os.environ.get("SPARK_GRAFT_SCALE_WAIT", "600"))
+    out = {
+        "levels": list(levels),
+        "mem_warm": warm_guest_memory(),
+        "host_before": host_speed_probe(),
+    }
+    rep_log: dict[int, list] = {n: [] for n in levels}
+    n_corpus = 0
+
+    def _quiet_reps(n: int) -> int:
+        return sum(1 for r in rep_log[n] if r["quiet"])
+
+    def _wait_quiet() -> None:
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            if host_speed_probe()["calib_sec"] < quiet_thresh:
+                return
+            time.sleep(20)
+
+    for _round in range(max_rounds):
+        if all(_quiet_reps(n) >= want_quiet for n in levels):
+            break
+        for n in levels:
+            if _quiet_reps(n) >= want_quiet:
+                continue
+            _wait_quiet()
+            # 3x cores shuffle partitions (the cluster-submit setting,
+            # session.py docstring): every stage runs ~3 balanced
+            # waves at BOTH levels instead of one straggler-bound
+            # wave at the higher one; AQE still coalesces tiny
+            # shuffles
+            spark = get_spark(master=f"local[{n}]", shuffle_partitions=3 * n)
+            warm = spark.range(0, 2000).selectExpr(
+                "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
+            )
+            add_signatures(warm, DedupConfig()).agg(
+                F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
+            ).collect()
+            docs = spark.read.parquet(corpus)
+            # a reused pre-generated corpus may differ from the
+            # requested n_docs — throughput uses the actual row count
+            n_corpus = docs.count()
+            # untimed warm pass on a slice: full plan shape, ~5% data
+            minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
+            c_before = host_speed_probe()["calib_sec"]
+            t0 = time.perf_counter()
+            minhash_dedup(docs, cfg).count()
+            dt = time.perf_counter() - t0
+            c_after = host_speed_probe()["calib_sec"]
+            spark.stop()
+            rep_log[n].append(
+                {
+                    "sec": round(dt, 3),
+                    "calib_before": c_before,
+                    "calib_after": c_after,
+                    "quiet": max(c_before, c_after) < quiet_thresh,
+                }
+            )
+    out["n_docs"] = n_corpus
+    out["reps"] = rep_log
+    out["all_levels_have_quiet_reps"] = all(_quiet_reps(n) >= 1 for n in levels)
     for n in levels:
-        spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
-        warm = spark.range(0, 2000).selectExpr(
-            "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
-        )
-        add_signatures(warm, DedupConfig()).agg(
-            F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
-        ).collect()
-        docs = spark.read.parquet(corpus)
-        # a reused pre-generated corpus may differ from the requested
-        # n_docs — throughput must use the actual row count
-        n_corpus = docs.count()
-        # untimed warm pass on a slice: full plan shape, ~5% of the data
-        minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
-        t0 = time.perf_counter()
-        minhash_dedup(docs, cfg).count()
-        best = time.perf_counter() - t0
-        spark.stop()
-        out["n_docs"] = n_corpus
+        pool = [r for r in rep_log[n] if r["quiet"]] or rep_log[n]
+        best = min(r["sec"] for r in pool)
         out[f"local[{n}]"] = {
-            "sec": round(best, 3),
+            "sec": best,
             "docs_per_sec": round(n_corpus / best, 2),
         }
     lo, hi = sorted(levels)  # run order is as given; eff always N->4N
@@ -322,6 +422,9 @@ def run_micro():
 
 
 def main():
+    if "--warm-memory" in sys.argv:
+        print(json.dumps(warm_guest_memory()))
+        return
     if "--scaling" in sys.argv:
         run_scaling()
         return
@@ -332,6 +435,7 @@ def main():
         run_kernel_scaling()
         return
 
+    warm = warm_guest_memory()
     probe_before = host_speed_probe()
     timings, _, n_docs = run_suite(f"local[{CPUS}]")
     total = round(sum(timings.values()), 3)
@@ -347,6 +451,7 @@ def main():
                 "docs_per_sec_minhash_dedup": round(
                     n_docs / timings["minhash_dedup_docs"], 2
                 ),
+                "mem_warm": warm,
                 "host_before": probe_before,
                 "host_after": host_speed_probe(),
             }

@@ -20,6 +20,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Keep Python/Arrow workers from returning freed pages to the kernel:
+# this sandbox's page-fault service is pathologically slow (~20us/page
+# measured, ~100x a normal fault, with minutes-long degraded episodes),
+# so an allocator that trims/unmaps between Arrow batches re-faults its
+# working set over and over. Harmless on healthy hosts.
+_WORKER_MALLOC_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
+}
+
+
 def get_spark(
     app_name: str = "fuzzy_matcher_spark",
     master: str | None = None,
@@ -32,6 +44,9 @@ def get_spark(
     # one shuffle partition per core locally (AQE coalesces small
     # shuffles); a real cluster submit raises this to ~2-3x total cores
     shuffle = shuffle_partitions or max(n_threads, 8)
+
+    for k, v in _WORKER_MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
 
     b = (
         SparkSession.builder.appName(app_name)
