@@ -80,17 +80,38 @@ def warm_guest_memory(gb: float | None = None) -> dict:
     faults fresh guest-physical memory mid-run. A single large held
     allocation guarantees distinct physical pages (touch-and-free
     loops may just recycle the already-warm free-list head)."""
-    gb = gb if gb is not None else float(os.environ.get("SPARK_GRAFT_WARM_GB", "12"))
+    gb = gb if gb is not None else float(os.environ.get("SPARK_GRAFT_WARM_GB", "0"))
     if gb <= 0:
+        # default OFF: freed guest pages get DISCARDED again (free-page
+        # reporting), so a standalone warm pass only helps memory that
+        # stays held. The durable fix is per-process: the pre-touched
+        # fixed JVM heap (session.py SPARK_GRAFT_PRETOUCH) plus the
+        # no-trim malloc env for python workers.
         return {"warmed_gb": 0}
+    # fault service parallelizes (~0.05 GB/s per thread, scales to
+    # ~25x with concurrent touchers) — warm with one process per GiB,
+    # each HOLDING its slab until all are done so the slabs occupy
+    # distinct physical pages
+    from multiprocessing import Barrier, Process
+
     import numpy as np
 
-    n = int(gb * (1 << 30) // 8)
+    procs = max(1, int(gb))
+    per = gb / procs
+    barrier = Barrier(procs)
+
+    def _touch() -> None:
+        a = np.empty(int(per * (1 << 30) // 8), dtype=np.int64)
+        a[::512] = 1
+        barrier.wait(timeout=3600)
+
     t0 = time.perf_counter()
-    a = np.empty(n, dtype=np.int64)
-    a[:: 512] = 1  # one touch per 4 KiB page
+    ps = [Process(target=_touch) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
     dt = time.perf_counter() - t0
-    del a
     return {"warmed_gb": gb, "sec": round(dt, 1), "gb_per_sec": round(gb / dt, 2)}
 
 
@@ -201,6 +222,9 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     first execution pays one-time codegen that a long-running cluster
     job amortizes."""
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "750000"))
+    # pre-touched fixed heap by default: scaling runs are exactly the
+    # workload the lazy-VM fault path distorts (see warm_guest_memory)
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     from pyspark.sql import functions as F
 
     from fuzzy_matcher_spark.config import DedupConfig
@@ -264,6 +288,16 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
                 return
             time.sleep(20)
 
+    # Pin the WHOLE process tree (driver JVM + python workers) to n
+    # cores per level: python UDF workers run outside Spark's task-slot
+    # accounting, so an unpinned local[8] silently consumes up to ~2x
+    # its nominal cores on this 32-core host (measured: java capped at
+    # 8 while python used 6 more), overstating N-level throughput and
+    # understating N->4N efficiency. Affinity set before JVM launch is
+    # inherited by the JVM and every forked worker — the honest
+    # single-host analog of an N-core vs 4N-core cluster.
+    all_cpus = set(range(os.cpu_count() or max(levels)))
+
     for _round in range(max_rounds):
         if all(_quiet_reps(n) >= want_quiet for n in levels):
             break
@@ -271,6 +305,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
             if _quiet_reps(n) >= want_quiet:
                 continue
             _wait_quiet()
+            os.sched_setaffinity(0, set(range(n)))
             # 3x cores shuffle partitions (the cluster-submit setting,
             # session.py docstring): every stage runs ~3 balanced
             # waves at BOTH levels instead of one straggler-bound
@@ -295,6 +330,7 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
             dt = time.perf_counter() - t0
             c_after = host_speed_probe()["calib_sec"]
             spark.stop()
+            os.sched_setaffinity(0, all_cpus)
             rep_log[n].append(
                 {
                     "sec": round(dt, 3),
@@ -435,6 +471,7 @@ def main():
         run_kernel_scaling()
         return
 
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     warm = warm_guest_memory()
     probe_before = host_speed_probe()
     timings, _, n_docs = run_suite(f"local[{CPUS}]")

@@ -100,8 +100,16 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     ``df.rdd.getNumPartitions()`` forces physical planning on the
     driver, so it is only consulted when the plan-stats estimate says
     the input COULD be under-split: an input of >= target *
-    maxPartitionBytes necessarily scans into >= target splits."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    maxPartitionBytes necessarily scans into >= target splits.
+
+    Target is 3x the scheduler parallelism, not 1x: the signature
+    stage downstream mixes JVM shingle work with Arrow/python
+    round-trips, and a single wave of cores-many tasks leaves the
+    tail straggler-bound (measured at 300k docs / local[32]: 1 wave
+    of 32 tasks ran the flagship in 88s, 3 waves of 96 in 54s) —
+    same reasoning as the 2-3x cores shuffle-partition guidance for
+    cluster submits."""
+    target = 3 * df.sparkSession.sparkContext.defaultParallelism
     if plan_size_bytes(df) >= target * _PARTITION_BYTES:
         return df
     if df.rdd.getNumPartitions() < target:
@@ -193,7 +201,13 @@ def verify_pairs(
     cand_ids = pairs.select(
         F.explode(F.array("a", "b")).alias(id_col)
     ).distinct()
-    sig_cand = sig_df.join(cand_ids, id_col, "left_semi")
+    # persist the semi-joined candidate signatures: all four wide
+    # branches below (sig_a/sig_b/sh_a/sh_b) reference this subtree,
+    # and without the persist each one re-scans the corpus-sized
+    # signature cache and re-runs the semi-join (measured 4x the
+    # verify cost at 300k docs — 12.7s -> ~4s). Candidate-sized, so
+    # the extra storage is bounded by pair volume, not corpus size.
+    sig_cand = sig_df.join(cand_ids, id_col, "left_semi").persist()
     sig_a = sig_cand.select(
         F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
     )

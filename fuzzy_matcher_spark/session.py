@@ -48,6 +48,7 @@ def get_spark(
     for k, v in _WORKER_MALLOC_ENV.items():
         os.environ.setdefault(k, v)
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -58,10 +59,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        # Pre-fault and HOLD the full heap at JVM start. This sandbox
+        # serves first-touch page faults from a slow backing store and
+        # DISCARDS freed guest pages (free-page reporting), so heap
+        # that grows lazily mid-run stalls the job on the fault path
+        # (measured 10x run variance); a pre-touched fixed heap pays
+        # that cost once, untimed, at startup. Opt-in: pre-touch adds
+        # seconds-to-minutes of session startup depending on the
+        # backing store's current rate.
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
