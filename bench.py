@@ -474,7 +474,9 @@ def main():
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     warm = warm_guest_memory()
     probe_before = host_speed_probe()
-    timings, _, n_docs = run_suite(f"local[{CPUS}]")
+    # 3x cores shuffle partitions: same wave-balance reasoning as
+    # run_scaling (one wave of cores-many tasks is straggler-bound)
+    timings, _, n_docs = run_suite(f"local[{CPUS}]", shuffle=3 * int(CPUS))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
