@@ -176,9 +176,11 @@ URL_SYNTH_SQL = """
                 WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END,
            CASE WHEN doc_id % 3 = 0 THEN ''
                 ELSE concat('/Docs/', cast(doc_id as string)) END,
-           CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+           CASE WHEN doc_id % 13 = 3 THEN ''
+                WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
                 ELSE '?z=9&utm_campaign=x' END,
-           CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
+           CASE WHEN doc_id % 13 = 3 THEN '#/route?tab=1'
+                WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END)
     END
 """
 
@@ -889,16 +891,16 @@ def oracle_sql() -> dict[str, str]:
               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
             regexp_extract(url,
               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
-            regexp_extract(url, '\\?([^#]*)', 1) AS q
+            regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS q
           FROM raw
         ), norm AS (
           SELECT doc_id, url, scheme,
             regexp_replace(hostport, ':[0-9]*$', '') AS host,
             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
             CASE WHEN p = '' THEN '/' ELSE p END AS path,
-            array_to_string(list_sort(list_filter(string_split(q, '&'),
+            coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
               x -> len(x) > 0 AND NOT regexp_matches(x,
-                   '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&') AS cq
+                   '^(utm_[a-z0-9_]*|gclid|fbclid|ref)='))), '&'), '') AS cq
           FROM parts
         )
         SELECT doc_id, url,

@@ -73,6 +73,67 @@ def signature_col(shingle_hashes: Column, cfg: DedupConfig) -> Column:
     return minhash_udf(cfg.num_perm, cfg.seed)(shingle_hashes)
 
 
+# odd multiplier for the polynomial gram mix (golden-ratio constant,
+# same one splitmix64 uses); the mix is h = ((t0*C + t1)*C + t2)... over
+# n consecutive token hashes — vectorized as (n-1) numpy multiply-adds
+# over the whole token array, no per-gram allocation
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_gram_minhash_udf(num_perm: int, seed: int, n: int):
+    """Fused pandas UDF: array<long> per-token xxhash64 values ->
+    struct(shingle_hashes array<long>, signature array<long>).
+
+    The word-shingle fast path (see shingles.token_hashes_col): gram
+    hashes are a polynomial mix of n consecutive token hashes computed
+    with numpy slicing, deduplicated with np.unique, then MinHashed
+    with the same per-doc broadcast-min kernel as minhash_udf. Docs
+    shorter than n tokens contribute one gram mixing all their tokens
+    (mirrors word_shingles_from_tokens' short-doc rule). Zero-token
+    docs return an empty shingle set and the sentinel max-signature;
+    add_signatures filters them out upstream either way."""
+    a, b = _perm_coeffs(num_perm, seed)
+    a_col = a[:, None]
+    b_col = b[:, None]
+    empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+    empty_sh = np.empty(0, dtype=np.int64)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("shingle_hashes", T.ArrayType(T.LongType())),
+                T.StructField("signature", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for tok_hashes in it:
+            sh_out, sig_out = [], []
+            for th in tok_hashes:
+                if th is None or len(th) == 0:
+                    sh_out.append(empty_sh)
+                    sig_out.append(empty_sig)
+                    continue
+                t = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                m = len(t)
+                if m >= n:
+                    h = t[: m - n + 1].copy()
+                    for k in range(1, n):
+                        h = h * _GRAM_MIX + t[k : m - n + 1 + k]
+                else:
+                    h = t[:1].copy()
+                    for k in range(1, m):
+                        h = h * _GRAM_MIX + t[k : k + 1]
+                g = np.unique(h)
+                x = g & _MASK32
+                sig = ((a_col * x[None, :] + b_col) % _P).min(axis=1)
+                sh_out.append(g.astype(np.int64))
+                sig_out.append(sig.astype(np.int64))
+            yield pd.DataFrame({"shingle_hashes": sh_out, "signature": sig_out})
+
+    return _udf
+
+
 def band_structs_col(sig: Column | str, cfg: DedupConfig) -> Column:
     """array<struct<band_id int, band_hash long>> — JVM expression.
 

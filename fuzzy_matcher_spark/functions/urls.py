@@ -36,7 +36,11 @@ _SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
 # after scheme://, host:port runs to the first of / ? #
 _HOSTPORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# lazy [^#]*? prefix anchors the '?' to the PRE-fragment substring: a
+# '?' appearing only after '#' (SPA routes like host/#/route?tab=1) is
+# fragment content, not a query, and must not leak into the canonical
+# key
+_QUERY_RE = "^[^#]*?\\?([^#]*)"
 
 
 def _c(url: Column | str) -> Column:

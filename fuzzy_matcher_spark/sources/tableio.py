@@ -171,7 +171,10 @@ class IcebergTableIO(TableIO):
                 try:
                     writer.create()
                 except Exception as e:
-                    if "exist" not in str(e).lower():
+                    # only the create-race loser ("already exists")
+                    # retries as append; 'namespace/table does not
+                    # exist' failures must surface as themselves
+                    if "already exist" not in str(e).lower():
                         raise
                     writer.append()
             else:
@@ -187,13 +190,20 @@ class IcebergTableIO(TableIO):
         as source (no driver-side key materialization). Iceberg plans
         this as a position/equality-delete commit, not a full rewrite."""
         kc = keys.columns[0]
+        # uuid-suffixed view: a fixed name lets two concurrent
+        # delete_matching calls in one SparkSession clobber each
+        # other's source view between registration and the MERGE
+        view = f"_delete_keys_{uuid.uuid4().hex}"
         keys.select(F.col(kc).alias(key_col)).distinct().createOrReplaceTempView(
-            "_delete_keys"
+            view
         )
-        self.spark.sql(
-            f"MERGE INTO {self._fq(table)} t USING _delete_keys s "
-            f"ON t.{key_col} = s.{key_col} WHEN MATCHED THEN DELETE"
-        )
+        try:
+            self.spark.sql(
+                f"MERGE INTO {self._fq(table)} t USING {view} s "
+                f"ON t.{key_col} = s.{key_col} WHEN MATCHED THEN DELETE"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def snapshots(self, table: str) -> list[dict]:
         rows = self.spark.sql(

@@ -28,6 +28,10 @@ CASES = [
     ("ftp://Files.Example.com/pub", "ftp://files.example.com/pub"),
     ("no-scheme.Example.com/Path", "no-scheme.example.com/path"),  # passthrough
     ("https://foo.com/p?a=1#frag?b=2", "https://foo.com/p?a=1"),  # ? after #
+    # '?' ONLY inside the fragment (SPA route): no query at all — the
+    # fragment content must not leak into the canonical key
+    ("https://App.com/#/route?tab=1", "https://app.com/"),
+    ("https://app.com#frag?x=1", "https://app.com/"),
 ]
 
 
