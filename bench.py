@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -48,20 +49,52 @@ def host_speed_probe() -> dict:
     for _ in range(60):
         a = np.tanh(a @ a.T / 384.0)
     calib = time.perf_counter() - t0
-    # fresh-allocation fault probe: the matmul is cache-resident and
-    # blind to this sandbox's lazy-VM page-fault stalls (see
-    # warm_guest_memory); ~0.02s when memory is warm/healthy, seconds
-    # when allocations hit the slow backing store
-    d = np.empty(8_388_608, dtype=np.int64)  # 64 MiB
+    # fresh-allocation fault probes: the matmul is cache-resident and
+    # blind to this sandbox's lazy-VM page-fault behavior. Two paths
+    # are probed separately because the host serves them differently
+    # (round-4 finding, BENCH/BASELINE.md "Host memory model"):
+    # fault_sec = 4 KiB anonymous pages (what Spark uses with the
+    # session-level THP disable), ~0.03-0.05s healthy; fault_thp_sec =
+    # madvise(MADV_HUGEPAGE) pages (what numpy/JVM would use without
+    # the mitigation), 2-8s whenever the host's huge-page
+    # materialization path is engaged — the root cause of earlier
+    # rounds' irreproducible captures.
+    import ctypes
+    import mmap as _mmap
+
+    n = 64 << 20
+    buf = _mmap.mmap(-1, n)
     t0 = time.perf_counter()
-    d[::512] = 1
+    for off in range(0, n, 4096):
+        buf[off] = 1
     fault = time.perf_counter() - t0
-    del d
+    buf.close()
+    thp = None
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        # MAP_PRIVATE: THP=madvise only applies to private anon vmas
+        # (shared-anon THP is governed by shmem_enabled, usually off)
+        buf = _mmap.mmap(
+            -1, n, flags=_mmap.MAP_PRIVATE | _mmap.MAP_ANONYMOUS
+        )
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        libc.madvise(
+            ctypes.c_void_p(addr), ctypes.c_size_t(n), 14
+        )  # MADV_HUGEPAGE
+        t0 = time.perf_counter()
+        for off in range(0, n, 4096):
+            buf[off] = 1
+        thp = round(time.perf_counter() - t0, 3)
+        del addr
+        buf.close()
+    except Exception:
+        pass
     l1, l5, l15 = os.getloadavg()
     return {
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
         "calib_sec": round(calib, 3),
         "fault_sec": round(fault, 3),
+        "fault_thp_sec": thp,
     }
 
 
@@ -209,74 +242,139 @@ def run_suite(master: str, shuffle: int | None = None):
     return timings, rows, n_docs
 
 
-def run_scaling(n_docs: int | None = None, words: int = 150):
-    """Same job, same materialized input, two parallelism levels
-    (local[8] = N, local[32] = 4N). North-rule evidence: efficiency =
-    throughput(4N) / (4 * throughput(N)) >= 0.8.
+def run_scaling_rep(n: int) -> None:
+    """ONE pinned scaling rep in a FRESH process — invoked as
+    ``python bench.py --scaling-rep N`` by run_scaling.
 
-    The corpus must be large enough that compute dominates fixed
-    overhead at the HIGHER parallelism (this host runs the flagship at
-    several hundred docs/s/core, so 4N on a small corpus measures JIT
-    warm-up and stage-scheduling floor, not scaling). Each session
-    also runs one untimed warm pass of the full flagship plan shape —
-    first execution pays one-time codegen that a long-running cluster
-    job amortizes."""
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "750000"))
-    # pre-touched fixed heap by default: scaling runs are exactly the
-    # workload the lazy-VM fault path distorts (see warm_guest_memory)
+    Why a subprocess per rep: pyspark's py4j gateway JVM outlives
+    ``spark.stop()``, so in a single process the JVM (and every python
+    worker it later forks) keeps the CPU affinity it inherited when
+    the FIRST level launched it — a same-process 2-then-8 sweep runs
+    BOTH levels on 2 cores (measured: T2 == T8 == 313s while a fresh
+    8-core process ran the same job in ~70s). A fresh interpreter per
+    rep pins itself BEFORE the JVM exists, so the whole tree (JVM +
+    forked workers) genuinely owns exactly n cores."""
+    os.sched_setaffinity(0, set(range(n)))
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
     from pyspark.sql import functions as F
 
     from fuzzy_matcher_spark.config import DedupConfig
-    from fuzzy_matcher_spark.operators.dedup_minhash import (
-        add_signatures,
-        minhash_dedup,
+    from fuzzy_matcher_spark.operators.dedup_minhash import minhash_dedup
+    from fuzzy_matcher_spark.session import get_spark
+
+    corpus = os.environ["SPARK_GRAFT_SCALE_CORPUS"]
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+    spark = get_spark(master=f"local[{n}]", shuffle_partitions=3 * n)
+    docs = spark.read.parquet(corpus)
+    n_corpus = docs.count()
+    # untimed warm pass on a 5% slice: codegen + python worker spawn +
+    # Arrow pools for the full plan shape
+    minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
+    before = host_speed_probe()
+    t0 = time.perf_counter()
+    minhash_dedup(docs, cfg).count()
+    dt = time.perf_counter() - t0
+    after = host_speed_probe()
+    spark.stop()
+    print(
+        "SCALING_REP "
+        + json.dumps(
+            {
+                "n": n,
+                "sec": round(dt, 3),
+                "n_corpus": n_corpus,
+                "calib_before": before["calib_sec"],
+                "calib_after": after["calib_sec"],
+                "fault_before": before["fault_sec"],
+                "fault_after": after["fault_sec"],
+            }
+        )
     )
+
+
+def run_scaling(n_docs: int | None = None, words: int | None = None):
+    """Same job, same materialized input, two pinned parallelism levels
+    (default local[2] = N, local[8] = 4N). North-rule evidence:
+    efficiency = throughput(4N) / (4 * throughput(N)) >= 0.8.
+
+    Why N=2, 4N=8 (and not 8/32): round-4 microbenchmarks (see
+    BENCH/BASELINE.md "Host memory model") established that this
+    sandbox VM serves first-touch page faults from a host backing
+    store with (a) a fast-materialization budget of ~18 GiB of
+    RESIDENT guest memory (~1.5 GB/s inside it, ~0.01-0.1 GB/s once
+    resident memory exceeds it; freed pages replenish the budget
+    within seconds), and (b) a concurrency cliff: aggregate fault
+    bandwidth scales to ~8-16 concurrently-faulting threads and
+    collapses ~20-50x beyond that. A pandas-UDF stage runs TWO hot
+    threads per task slot (JVM + python worker), so local[8] is the
+    highest level whose worst-case thread count (16) stays inside the
+    host's linear zone at BOTH levels; 8/32 or 4/16 measure the
+    host's fault-service collapse, not the plan's scalability. On a
+    real 4N-executor cluster every node brings its own memory
+    subsystem, so neither pathology exists — the 2->8 window is the
+    widest one in which this single host can stand in for one.
+
+    Memory discipline per the same model: 8g driver heap, pre-touched
+    and HELD (-Xms=-Xmx -XX:+AlwaysPreTouch), python workers with
+    trim-pinned mallocs — total resident (heap + workers + page
+    cache) stays inside the fast budget, so timed reps never touch
+    the slow tier. Reps are gated on BOTH host stamps: calib_sec
+    (external CPU contention) and fault_sec (backing-store health —
+    after heavy memory exercise the host degrades for minutes; a rep
+    started then is fault-bound at any core count and measures
+    nothing). Each session sleeps afterwards so the freed heap
+    replenishes the budget for the next level."""
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "800000"))
+    words = words or int(os.environ.get("SPARK_GRAFT_SCALE_WORDS", "400"))
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_minhash import minhash_dedup
     from fuzzy_matcher_spark.session import get_spark
     from fuzzy_matcher_spark.sources.synth import synthetic_docs
 
     corpus = os.environ.get(
-        "SPARK_GRAFT_SCALE_CORPUS", "/tmp/spark_graft_scale_corpus.parquet"
+        "SPARK_GRAFT_SCALE_CORPUS",
+        f"/tmp/spark_graft_scale_corpus_{n_docs}x{words}.parquet",
     )
     cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
-    if not os.path.exists(corpus):  # reuse a pre-generated corpus
-        spark = get_spark(master="local[32]")
-        synthetic_docs(spark, n_docs, words).repartition(32).write.mode(
+    if not os.path.exists(corpus):
+        spark = get_spark(master="local[16]")
+        # >= 3x the highest level's cores worth of files, so the scan
+        # itself is parallel enough at both levels and neither level
+        # pays an extra repartition the other skips
+        synthetic_docs(spark, n_docs, words).repartition(96).write.mode(
             "overwrite"
         ).parquet(corpus)
         spark.stop()
+        time.sleep(10)  # generator heap freed -> budget replenishes
 
     levels = tuple(
         int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     )
     if len(levels) != 2:
         raise SystemExit("SPARK_GRAFT_SCALE_LEVELS must name exactly two levels")
-    # ALTERNATE the levels across reps and take per-level min: this
-    # multi-tenant host shows minutes-long external CPU bursts (r2/r3
-    # captures of identical code 1.3-3x apart), and alternation makes
-    # a burst hit both levels symmetrically instead of poisoning
-    # whichever level it overlapped; per-rep calib stamps make every
-    # rep self-describing
-    # a rep is "quiet" when the single-thread calib probe agrees with
-    # the unloaded baseline (~0.13-0.17s here) BOTH before and after
-    # the timed run — external bursts last minutes, so a before-only
-    # stamp misses bursts that arrive mid-run (observed: 81.8s vs
-    # 807s for the identical rep, before-calib quiet in both)
-    quiet_thresh = float(os.environ.get("SPARK_GRAFT_SCALE_CALIB_QUIET", "0.22"))
+    calib_quiet = float(os.environ.get("SPARK_GRAFT_SCALE_CALIB_QUIET", "0.22"))
+    fault_quiet = float(os.environ.get("SPARK_GRAFT_SCALE_FAULT_QUIET", "0.5"))
     max_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_ROUNDS", "6"))
     want_quiet = int(os.environ.get("SPARK_GRAFT_SCALE_QUIET_REPS", "2"))
-    # max seconds to WAIT for external bursts to pass before each rep
-    # (this host shows minutes-long load-20+ bursts; measuring through
-    # one wastes a whole rep)
-    max_wait = int(os.environ.get("SPARK_GRAFT_SCALE_WAIT", "600"))
+    max_wait = int(os.environ.get("SPARK_GRAFT_SCALE_WAIT", "900"))
     out = {
         "levels": list(levels),
-        "mem_warm": warm_guest_memory(),
+        "n_docs_requested": n_docs,
+        "words": words,
         "host_before": host_speed_probe(),
+        "gates": {"calib_sec": calib_quiet, "fault_sec": fault_quiet},
     }
     rep_log: dict[int, list] = {n: [] for n in levels}
     n_corpus = 0
+
+    def _probe_quiet(p: dict) -> bool:
+        return p["calib_sec"] < calib_quiet and p["fault_sec"] < fault_quiet
 
     def _quiet_reps(n: int) -> int:
         return sum(1 for r in rep_log[n] if r["quiet"])
@@ -284,19 +382,9 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
     def _wait_quiet() -> None:
         deadline = time.time() + max_wait
         while time.time() < deadline:
-            if host_speed_probe()["calib_sec"] < quiet_thresh:
+            if _probe_quiet(host_speed_probe()):
                 return
             time.sleep(20)
-
-    # Pin the WHOLE process tree (driver JVM + python workers) to n
-    # cores per level: python UDF workers run outside Spark's task-slot
-    # accounting, so an unpinned local[8] silently consumes up to ~2x
-    # its nominal cores on this 32-core host (measured: java capped at
-    # 8 while python used 6 more), overstating N-level throughput and
-    # understating N->4N efficiency. Affinity set before JVM launch is
-    # inherited by the JVM and every forked worker — the honest
-    # single-host analog of an N-core vs 4N-core cluster.
-    all_cpus = set(range(os.cpu_count() or max(levels)))
 
     for _round in range(max_rounds):
         if all(_quiet_reps(n) >= want_quiet for n in levels):
@@ -305,51 +393,53 @@ def run_scaling(n_docs: int | None = None, words: int = 150):
             if _quiet_reps(n) >= want_quiet:
                 continue
             _wait_quiet()
-            os.sched_setaffinity(0, set(range(n)))
-            # 3x cores shuffle partitions (the cluster-submit setting,
-            # session.py docstring): every stage runs ~3 balanced
-            # waves at BOTH levels instead of one straggler-bound
-            # wave at the higher one; AQE still coalesces tiny
-            # shuffles
-            spark = get_spark(master=f"local[{n}]", shuffle_partitions=3 * n)
-            warm = spark.range(0, 2000).selectExpr(
-                "id as doc_id", "repeat(concat('w', id % 97, ' '), 40) as text"
+            # each rep runs in a FRESH python process pinned to n cores
+            # before its JVM launches — see run_scaling_rep for why a
+            # same-process sweep silently runs every level on the
+            # first level's cores
+            env = dict(os.environ, SPARK_GRAFT_SCALE_CORPUS=corpus)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-rep", str(n)],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3600,
             )
-            add_signatures(warm, DedupConfig()).agg(
-                F.sum(F.element_at("signature", 1).cast("decimal(38,0)"))
-            ).collect()
-            docs = spark.read.parquet(corpus)
-            # a reused pre-generated corpus may differ from the
-            # requested n_docs — throughput uses the actual row count
-            n_corpus = docs.count()
-            # untimed warm pass on a slice: full plan shape, ~5% data
-            minhash_dedup(docs.where(F.col("doc_id") % 20 == 0), cfg).count()
-            c_before = host_speed_probe()["calib_sec"]
-            t0 = time.perf_counter()
-            minhash_dedup(docs, cfg).count()
-            dt = time.perf_counter() - t0
-            c_after = host_speed_probe()["calib_sec"]
-            spark.stop()
-            os.sched_setaffinity(0, all_cpus)
-            rep_log[n].append(
-                {
-                    "sec": round(dt, 3),
-                    "calib_before": c_before,
-                    "calib_after": c_after,
-                    "quiet": max(c_before, c_after) < quiet_thresh,
-                }
+            line = next(
+                (
+                    ln[len("SCALING_REP ") :]
+                    for ln in proc.stdout.splitlines()
+                    if ln.startswith("SCALING_REP ")
+                ),
+                None,
             )
+            if line is None:
+                rep_log[n].append(
+                    {"error": (proc.stderr or "no output")[-500:], "quiet": False}
+                )
+                continue
+            rep = json.loads(line)
+            n_corpus = rep.pop("n_corpus")
+            rep["quiet"] = (
+                rep["calib_before"] < calib_quiet
+                and rep["calib_after"] < calib_quiet
+                and rep["fault_before"] < fault_quiet
+                and rep["fault_after"] < fault_quiet
+            )
+            rep_log[n].append(rep)
+            time.sleep(15)  # freed rep-process memory -> budget replenishes
     out["n_docs"] = n_corpus
     out["reps"] = rep_log
     out["all_levels_have_quiet_reps"] = all(_quiet_reps(n) >= 1 for n in levels)
     for n in levels:
-        pool = [r for r in rep_log[n] if r["quiet"]] or rep_log[n]
+        ok = [r for r in rep_log[n] if "sec" in r]
+        pool = [r for r in ok if r["quiet"]] or ok
         best = min(r["sec"] for r in pool)
         out[f"local[{n}]"] = {
             "sec": best,
             "docs_per_sec": round(n_corpus / best, 2),
         }
-    lo, hi = sorted(levels)  # run order is as given; eff always N->4N
+    lo, hi = sorted(levels)
     eff = (
         out[f"local[{hi}]"]["docs_per_sec"]
         / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
@@ -370,7 +460,7 @@ def run_kernel_scaling():
 
     import numpy as np
 
-    from fuzzy_matcher_spark.functions.minhash import _MASK32, _P, _perm_coeffs
+    from fuzzy_matcher_spark.functions.minhash import _perm_coeffs, minhash_kernel
 
     def worker(q):
         rng = np.random.RandomState(7)
@@ -379,8 +469,7 @@ def run_kernel_scaling():
         a_col, b_col = a[:, None], b[:, None]
         t0 = time.time()
         for h in docs:
-            x = h.astype(np.uint64) & _MASK32
-            ((a_col * x[None, :] + b_col) % _P).min(axis=1)
+            minhash_kernel(h.astype(np.uint64), a_col, b_col)
         q.put(len(docs) / (time.time() - t0))
 
     out = {}
@@ -460,6 +549,9 @@ def run_micro():
 def main():
     if "--warm-memory" in sys.argv:
         print(json.dumps(warm_guest_memory()))
+        return
+    if "--scaling-rep" in sys.argv:
+        run_scaling_rep(int(sys.argv[sys.argv.index("--scaling-rep") + 1]))
         return
     if "--scaling" in sys.argv:
         run_scaling()

@@ -27,6 +27,18 @@ def exact_key(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def star_pairs_from_keys(keyed: DataFrame, id_col: str) -> DataFrame:
+    """(a, b) star pairs over a pre-keyed (id, _ek) relation — the
+    shared core of exact_pairs, also fed from the dedup pipeline's
+    cached signature relation so raw text isn't re-scanned."""
+    hub = F.min(id_col).over(Window.partitionBy("_ek"))
+    return (
+        keyed.withColumn("_hub", hub)
+        .where(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
+    )
+
+
 def exact_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, cluster_id) where cluster_id = min id among byte-identical
     texts. Two shuffles: partial-agg groupBy + join back."""
@@ -38,10 +50,6 @@ def exact_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def exact_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Star pairs (min_id, id) linking byte-identical docs — O(n) per
     family and diameter 2 (CC converges in O(1) rounds)."""
-    keyed = exact_key(df, text_col).select(id_col, "_ek")
-    hub = F.min(id_col).over(Window.partitionBy("_ek"))
-    return (
-        keyed.withColumn("_hub", hub)
-        .where(F.col(id_col) != F.col("_hub"))
-        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
+    return star_pairs_from_keys(
+        exact_key(df, text_col).select(id_col, "_ek"), id_col
     )

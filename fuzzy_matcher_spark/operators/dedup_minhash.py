@@ -55,7 +55,10 @@ from fuzzy_matcher_spark.functions.shingles import (
     token_hashes_col,
 )
 from fuzzy_matcher_spark.operators.connected_components import connected_components
-from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
+from fuzzy_matcher_spark.operators.dedup_exact import (
+    exact_key,
+    star_pairs_from_keys,
+)
 from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
 
 
@@ -95,27 +98,11 @@ def plan_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
-# persisted relations (signatures, candidate signatures) from the
-# most recent minhash_dedup call. Each new call — or an explicit
-# release_caches() — unpersists them, so a long-lived session running
-# many dedups holds at most one call's worth of cached partitions
-# instead of accumulating without bound. Unpersisting a relation a
-# caller still references is safe (Spark recomputes lazily).
-_live_caches: list[DataFrame] = []
-
-
-def _register_cache(df: DataFrame) -> DataFrame:
-    _live_caches.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist cached relations left behind by prior dedup calls."""
-    while _live_caches:
-        try:
-            _live_caches.pop().unpersist()
-        except Exception:  # session already stopped — nothing to free
-            pass
+# cache registry shared across dedup operators (see cachereg docstring)
+from fuzzy_matcher_spark.operators.cachereg import (  # noqa: E402
+    register_cache as _register_cache,
+    release_caches,
+)
 
 
 # plan-stats estimates are only trustworthy for file-backed scans;
@@ -208,6 +195,37 @@ def add_signatures(
     )
 
 
+def _signatures_with_exact_key(
+    df: DataFrame, cfg: DedupConfig, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, _ek, shingle_hashes, signature) over ALL docs — the
+    single-scan relation minhash_dedup persists.
+
+    Unlike add_signatures, zero-token docs are KEPT (empty shingle set
+    + sentinel signature; banding filters on size(shingle_hashes) > 0)
+    and the exact-dup key struct (xxhash64/length/md5 of the raw text)
+    rides along. Result: one pass over raw text feeds banding,
+    verification, exact-dup star pairs, AND the final id roster —
+    previously exact_pairs and the final left join each re-scanned the
+    corpus (at 100 TB, two extra full-table text scans)."""
+    keyed = exact_key(ensure_parallelism(df), text_col)
+    if cfg.shingle_mode == "word":
+        fused = token_gram_minhash_udf(cfg.num_perm, cfg.seed, cfg.shingle_size)
+        return keyed.select(
+            F.col(id_col), "_ek", fused(token_hashes_col(text_col)).alias("_s")
+        ).select(id_col, "_ek", "_s.shingle_hashes", "_s.signature")
+    hashed = add_shingle_hashes(keyed, cfg.shingle_mode, cfg.shingle_size, text_col)
+    # zero-token docs shingle to the sentinel ['']; mask them to an
+    # empty set via the cheap independent predicate on raw text (see
+    # add_signatures docstring for why not on the shingle column)
+    masked = F.when(_has_tokens(text_col), F.col("shingle_hashes")).otherwise(
+        F.array().cast(T.ArrayType(T.LongType()))
+    )
+    return hashed.select(
+        F.col(id_col), "_ek", masked.alias("shingle_hashes")
+    ).withColumn("signature", signature_col(F.col("shingle_hashes"), cfg))
+
+
 def candidate_pairs(sig_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
     """Self-join the band index with bucket-size capping. Returns
     distinct (a, b) with a < b."""
@@ -223,78 +241,65 @@ def verify_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     exact: bool = True,
-    est_margin: float = 0.1,
+    est_margin: float = 0.1,  # kept for API compat; see docstring
 ) -> DataFrame:
     """(a, b, jaccard) for pairs passing the threshold.
 
-    est (JVM signature agreement) prefilters at threshold - margin;
-    exact Jaccard (pandas UDF over shingle-hash sets) decides. With
-    exact=False the estimate alone decides (cheaper; documented bias).
+    exact=True decides with exact Jaccard over the shingle-hash sets
+    (vectorized pandas UDF); exact=False decides with the JVM
+    signature-agreement estimate alone (cheaper; documented bias).
 
-    Shuffle discipline: the prefilter joins carry only the 128-long
-    signature; the (much wider) shingle-hash sets are joined in a
-    second pass restricted to prefilter survivors — at web scale the
-    survivors are orders of magnitude fewer than the candidates.
+    Join shape (the 100 TB-relevant part). A naive pairs -> side_a ->
+    side_b join chain drags wide array columns through a cascade of
+    sort-merge joins — each join shuffles BOTH its inputs, so the wide
+    candidate rows cross the wire ~3x (measured: four 40-80 MB
+    exchanges at 300k docs, and before the semi-join era the planner
+    once broadcast the full wide table — driver OOM at 300k/8g).
+    Instead the pair list is EXPLODED to one narrow row per pair SIDE
+    (a, b, id), inner-joined ONCE against the signature relation (the
+    join prunes to candidate-touched ids, subsuming the old semi-join;
+    with pairs persisted+counted AQE broadcasts the narrow exploded
+    side and the wide table is streamed in place), and the two sides
+    are recombined by a single groupBy(a, b) — exactly ONE wide
+    shuffle, sized by candidate volume, not corpus size.
 
-    Join shape (the 100 TB-relevant part): joining pairs -> sig_a ->
-    sig_b sequentially drags the wide signature arrays through every
-    later join — the planner sorts corpus-sized wide rows and verify
-    cost scales with the CORPUS (measured 26x blowup from 300k to
-    800k docs). Instead the signatures are first SEMI-JOINED down to
-    the ids that appear in any candidate pair: the distinct-id set is
-    narrow (broadcastable until pairs are enormous, and a shuffled
-    semi join beyond that), so the wide table is streamed once and
-    every subsequent join touches only candidate-sized wide rows —
-    verification cost scales with candidate volume, not corpus size.
-    Callers must pass a MATERIALIZED persisted sig_df (minhash_dedup
-    counts it after persist) so plan sizes are exact; scan-based
-    estimates miss array expansion and once led the planner to
-    broadcast the full wide table (driver OOM at 300k docs, 8g).
+    The old signature-agreement PREfilter (est >= threshold - margin
+    before the exact check) is gone from the exact path: its only
+    savings was python time on non-survivors, worth ~10us/pair to the
+    numpy set-intersection kernel, while costing a second wide join
+    pass. est_margin is retained so existing callers keep working; it
+    only matters for exact=False, where results now carry the full
+    estimate (no margin cut) exactly as before.
+
+    ``pairs`` is persisted + materialized here: it is consumed twice
+    (explode + downstream reuse by callers), an unpersisted candidate
+    subtree re-runs the whole band pipeline once per consumer
+    (measured ~10s of the 35s 300k flagship), and the count gives AQE
+    exact stats for the broadcast decision.
     """
-    cand_ids = pairs.select(
-        F.explode(F.array("a", "b")).alias(id_col)
-    ).distinct()
-    # persist the semi-joined candidate signatures: all four wide
-    # branches below (sig_a/sig_b/sh_a/sh_b) reference this subtree,
-    # and without the persist each one re-scans the corpus-sized
-    # signature cache and re-runs the semi-join (measured 4x the
-    # verify cost at 300k docs — 12.7s -> ~4s). Candidate-sized, so
-    # the extra storage is bounded by pair volume, not corpus size.
-    # registered for cleanup: the next dedup call (or release_caches)
-    # unpersists it, so repeated calls in one session don't accumulate
-    # candidate-signature partitions
-    sig_cand = _register_cache(
-        sig_df.join(cand_ids, id_col, "left_semi").persist()
+    pairs = _register_cache(pairs.persist())
+    pairs.count()
+    val = "shingle_hashes" if exact else "signature"
+    exploded = pairs.select(
+        "a", "b", F.explode(F.array("a", "b")).alias(id_col)
     )
-    sig_a = sig_cand.select(
-        F.col(id_col).alias("a"), F.col("signature").alias("_sig_a")
+    tagged = exploded.join(
+        sig_df.select(F.col(id_col), F.col(val)), id_col
     )
-    sig_b = sig_cand.select(
-        F.col(id_col).alias("b"), F.col("signature").alias("_sig_b")
+    side = lambda key: F.first(  # noqa: E731
+        F.when(F.col(id_col) == F.col(key), F.col(val)), ignorenulls=True
     )
-    j = (
-        pairs.join(sig_a, "a")
-        .join(sig_b, "b")
-        .withColumn("est", sig_agreement_col("_sig_a", "_sig_b", cfg.num_perm))
-        .where(F.col("est") >= cfg.jaccard_threshold - est_margin)
-        .select("a", "b", "est")
+    per_pair = tagged.groupBy("a", "b").agg(
+        side("a").alias("_va"), side("b").alias("_vb")
     )
-    if not exact:
-        return j.where(F.col("est") >= cfg.jaccard_threshold).select(
-            "a", "b", F.col("est").alias("jaccard")
+    if exact:
+        scored = per_pair.withColumn("jaccard", jaccard_udf("_va", "_vb"))
+    else:
+        scored = per_pair.withColumn(
+            "jaccard", sig_agreement_col("_va", "_vb", cfg.num_perm)
         )
-    sh_a = sig_cand.select(
-        F.col(id_col).alias("a"), F.col("shingle_hashes").alias("_sh_a")
-    )
-    sh_b = sig_cand.select(
-        F.col(id_col).alias("b"), F.col("shingle_hashes").alias("_sh_b")
-    )
-    return (
-        j.join(sh_a, "a")
-        .join(sh_b, "b")
-        .withColumn("jaccard", jaccard_udf("_sh_a", "_sh_b"))
-        .where(F.col("jaccard") >= cfg.jaccard_threshold)
-        .select("a", "b", "jaccard")
+    return scored.where(F.col("jaccard") >= cfg.jaccard_threshold).select(
+        "a", "b", "jaccard"
     )
 
 
@@ -337,16 +342,24 @@ def minhash_dedup(
     release_caches()  # free the previous call's cached relations
     if eager_stats is None:
         eager_stats = plan_size_bytes(df) >= _EAGER_STATS_MIN_BYTES
-    sig_df = _register_cache(add_signatures(df, cfg, text_col, id_col).persist())
+    # one scan of the raw corpus feeds everything downstream: banding,
+    # verification, exact star pairs, and the final id roster all read
+    # the persisted (id, _ek, shingle_hashes, signature) relation
+    full = _register_cache(
+        _signatures_with_exact_key(df, cfg, text_col, id_col).persist()
+    )
     if eager_stats:
-        sig_df.count()
+        full.count()
+    sig_df = full.where(F.size("shingle_hashes") > 0)
     pairs = candidate_pairs(sig_df, cfg, id_col)
     verified = verify_pairs(pairs, sig_df, cfg, id_col, exact=exact_verify)
     edge_df = verified.select("a", "b")
     if include_exact:
-        edge_df = edge_df.union(exact_pairs(df, text_col, id_col)).distinct()
+        edge_df = edge_df.union(
+            star_pairs_from_keys(full.select(id_col, "_ek"), id_col)
+        ).distinct()
     comp = connected_components(edge_df, max_iter=cfg.cc_max_iter)
-    all_ids = df.select(F.col(id_col))
+    all_ids = full.select(F.col(id_col))
     return (
         all_ids.join(comp, all_ids[id_col] == comp["id"], "left")
         .select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fuzzy_matcher_spark.operators.cachereg import register_cache as _register_cache
+
 # above this cap the single-row flattened-combos array (O(cap^2)
 # structs) switches to a two-step explode with O(cap) per-row memory
 _FLAT_COMBOS_MAX_CAP = 256
@@ -51,6 +53,14 @@ def capped_self_join_pairs(
         F.count(F.lit(1)).over(w).alias("_bn"),
         F.min(id_col).over(w).alias("_hub"),
     )
+    # tagged feeds TWO branches (small-bucket regroup + big-bucket star
+    # pairs). ReuseExchange does not fire across them under AQE, so an
+    # unpersisted window subtree is evaluated twice — two full index
+    # shuffles + two window passes (measured: duplicate 75 MB shuffle
+    # writes and a doubled 27 core-s window stage at 300k docs).
+    # Persisting the narrow tagged index runs it once; callers'
+    # release_caches()/new dedup calls free it.
+    tagged = _register_cache(tagged.persist())
 
     ids = F.sort_array(F.collect_list(id_col))
     grouped = (

