@@ -21,8 +21,16 @@ from fuzzy_matcher_spark.functions.simhash import (
     hamming_col,
     simhash64_udf,
 )
+from fuzzy_matcher_spark.operators.cachereg import (
+    register_cache as _register_cache,
+)
+from fuzzy_matcher_spark.operators.cachereg import release_caches
 from fuzzy_matcher_spark.operators.connected_components import connected_components
-from fuzzy_matcher_spark.operators.dedup_exact import exact_pairs
+from fuzzy_matcher_spark.operators.dedup_exact import (
+    exact_key,
+    exact_pairs,
+    star_pairs_from_keys,
+)
 from fuzzy_matcher_spark.operators.pairs import capped_self_join_pairs
 
 
@@ -89,14 +97,43 @@ def simhash_dedup(
     id_col: str = "doc_id",
     include_exact: bool = True,
 ) -> DataFrame:
+    """Single-scan shape (mirrors minhash_dedup): one pass over raw
+    text produces (id, _ek, fingerprint) for ALL docs — zero-token
+    docs keep a NULL fingerprint (they must not cluster by shared
+    sentinel fingerprints) but still contribute their exact-dup key
+    and their row in the final roster, so neither the exact pairs nor
+    the id roster re-scans the corpus."""
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        _has_tokens,
+        ensure_parallelism,
+    )
+
     cfg = cfg or DedupConfig()
-    fp_df = add_fingerprints(df, cfg, text_col, id_col).persist()
+    release_caches()  # free the previous pipeline invocation's caches
+    keyed = exact_key(ensure_parallelism(df), text_col)
+    hashed = add_shingle_hashes(
+        keyed, cfg.shingle_mode, cfg.shingle_size, text_col, out="_h"
+    )
+    fp_full = _register_cache(
+        hashed.select(
+            F.col(id_col),
+            "_ek",
+            F.when(
+                _has_tokens(text_col), simhash64_udf(F.col("_h"))
+            ).alias("fingerprint"),
+        ).persist()
+    )
+    fp_df = fp_full.where(F.col("fingerprint").isNotNull()).select(
+        id_col, "fingerprint"
+    )
     pairs = simhash_candidate_pairs(fp_df, cfg, id_col)
     verified = simhash_verify(pairs, fp_df, cfg, id_col).select("a", "b")
     if include_exact:
-        verified = verified.union(exact_pairs(df, text_col, id_col)).distinct()
+        verified = verified.union(
+            star_pairs_from_keys(fp_full.select(id_col, "_ek"), id_col)
+        ).distinct()
     comp = connected_components(verified, max_iter=cfg.cc_max_iter)
-    all_ids = df.select(F.col(id_col))
+    all_ids = fp_full.select(F.col(id_col))
     return all_ids.join(comp, all_ids[id_col] == comp["id"], "left").select(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
