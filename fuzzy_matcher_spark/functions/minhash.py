@@ -64,7 +64,12 @@ def minhash_kernel(
 
 
 def minhash_udf(num_perm: int, seed: int):
-    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+    """pandas UDF: array<long> shingle/gram hashes -> array<long>
+    signature. Input may contain DUPLICATE gram ids (MinHash is
+    multiset-invariant: min over duplicates equals min over the set),
+    so the JVM side skips array_distinct before the python hop and the
+    python side skips np.unique — set semantics are enforced only
+    where sets are actually consumed (exact Jaccard).
 
     Per-document numpy (a 128 x k broadcast + row-min). A fully
     batch-vectorized variant (concat + minimum.reduceat over the whole
@@ -96,28 +101,85 @@ def signature_col(shingle_hashes: Column, cfg: DedupConfig) -> Column:
     return minhash_udf(cfg.num_perm, cfg.seed)(shingle_hashes)
 
 
-# odd multiplier for the polynomial gram mix (golden-ratio constant,
-# same one splitmix64 uses); the mix is h = ((t0*C + t1)*C + t2)... over
-# n consecutive token hashes — vectorized as (n-1) numpy multiply-adds
-# over the whole token array, no per-gram allocation
+# odd multiplier for the numpy gram mix (golden-ratio constant, same
+# one splitmix64 uses); gram id = degree-(n-1) polynomial over n
+# consecutive token hashes, vectorized as (n-1) multiply-adds over the
+# whole token array — no per-gram allocation. A pure-Catalyst variant
+# (xxhash64 over slices inside transform()) was measured FAR slower:
+# higher-order-function lambdas evaluate interpreted, allocating a
+# slice array per gram (~1ms/doc at 400 words vs ~0.2ms here).
 _GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def token_gram_minhash_udf(num_perm: int, seed: int, n: int):
-    """Fused pandas UDF: array<long> per-token xxhash64 values ->
-    struct(shingle_hashes array<long>, signature array<long>).
+def _mix_grams(t: np.ndarray, n: int) -> np.ndarray:
+    """Gram multiset (duplicates kept) of one doc's token hashes."""
+    m = len(t)
+    with np.errstate(**_WRAP):
+        if m >= n:
+            h = t[: m - n + 1].copy()
+            for k in range(1, n):
+                h = h * _GRAM_MIX + t[k : m - n + 1 + k]
+        else:
+            h = t[:1].copy()
+            for k in range(1, m):
+                h = h * _GRAM_MIX + t[k : k + 1]
+    return h
 
-    The word-shingle fast path (see shingles.token_hashes_col): gram
-    hashes are a polynomial mix of n consecutive token hashes computed
-    with numpy slicing, deduplicated with np.unique, then MinHashed
-    with the same per-doc broadcast-min kernel as minhash_udf. Docs
-    shorter than n tokens contribute one gram mixing all their tokens
-    (mirrors word_shingles_from_tokens' short-doc rule). Zero-token
-    docs return an empty shingle set and the sentinel max-signature;
-    add_signatures filters them out upstream either way."""
+
+def token_gram_sig_udf(num_perm: int, seed: int, n: int):
+    """pandas UDF: per-token xxhash64 array -> 128-long signature ONLY.
+
+    The dedup pipeline's hot hop: gram mix + MinHash in one pass, no
+    shingle-set output (output is 1 KB/doc instead of ~4 KB — the wide
+    distinct-gram sets are recomputed exactly once for verification by
+    token_gram_sets_udf). Duplicates skip np.unique: MinHash is
+    multiset-invariant."""
     a, b = _perm_coeffs(num_perm, seed)
-    a_col = a[:, None]
-    b_col = b[:, None]
+    a_col, b_col = a[:, None], b[:, None]
+    empty = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for tok_hashes in it:
+            out = []
+            for th in tok_hashes:
+                if th is None or len(th) == 0:
+                    out.append(empty)
+                    continue
+                t = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                out.append(minhash_kernel(_mix_grams(t, n), a_col, b_col))
+            yield pd.Series(out)
+
+    return _udf
+
+
+def token_gram_sets_udf(n: int):
+    """pandas UDF: per-token xxhash64 array -> DISTINCT gram ids
+    (sorted). The set-consumer counterpart of token_gram_sig_udf, used
+    once per dedup run to feed exact-Jaccard verification."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        empty = np.empty(0, dtype=np.int64)
+        for tok_hashes in it:
+            out = []
+            for th in tok_hashes:
+                if th is None or len(th) == 0:
+                    out.append(empty)
+                    continue
+                t = np.asarray(th, dtype=np.int64).astype(np.uint64)
+                out.append(np.unique(_mix_grams(t, n)).astype(np.int64))
+            yield pd.Series(out)
+
+    return _udf
+
+
+def token_gram_minhash_udf(num_perm: int, seed: int, n: int):
+    """pandas UDF: per-token xxhash64 array -> struct(shingle_hashes,
+    signature) — both halves in one hop, for callers that want the
+    add_signatures contract in a single python pass."""
+    a, b = _perm_coeffs(num_perm, seed)
+    a_col, b_col = a[:, None], b[:, None]
     empty_sig = np.full(num_perm, np.iinfo(np.int64).max, dtype=np.int64)
     empty_sh = np.empty(0, dtype=np.int64)
 
@@ -138,17 +200,7 @@ def token_gram_minhash_udf(num_perm: int, seed: int, n: int):
                     sig_out.append(empty_sig)
                     continue
                 t = np.asarray(th, dtype=np.int64).astype(np.uint64)
-                m = len(t)
-                with np.errstate(**_WRAP):
-                    if m >= n:
-                        h = t[: m - n + 1].copy()
-                        for k in range(1, n):
-                            h = h * _GRAM_MIX + t[k : m - n + 1 + k]
-                    else:
-                        h = t[:1].copy()
-                        for k in range(1, m):
-                            h = h * _GRAM_MIX + t[k : k + 1]
-                g = np.unique(h)
+                g = np.unique(_mix_grams(t, n))
                 sh_out.append(g.astype(np.int64))
                 sig_out.append(minhash_kernel(g, a_col, b_col))
             yield pd.DataFrame({"shingle_hashes": sh_out, "signature": sig_out})

@@ -88,17 +88,15 @@ def shingle_hashes_col(shingles: Column) -> Column:
 
 
 def token_hashes_col(text: Column | str) -> Column:
-    """xxhash64 per TOKEN (not per gram): the cheap JVM half of the
-    fused word-shingle path. Gram hashes are then formed numerically
-    (a degree-(n-1) polynomial mix of n consecutive token hashes) in
-    the same pandas UDF that computes MinHash — no gram strings are
-    ever allocated. Measured 2x wall on the signature stage at 300k
-    docs/local[32]: the gram-string path allocates ~150 short-lived
-    strings + one array_distinct over strings per doc, and that
-    JVM-side churn is memory-bandwidth-bound precisely where the
-    numpy mix is cache-resident. Set semantics are identical to
-    hashing gram strings (same cardinalities, same Jaccard) modulo
-    64-bit collisions, which both representations already accept."""
+    """xxhash64 per TOKEN (not per gram): the cheap JVM first half of
+    the word-shingle fast path — no gram strings are ever allocated
+    (the gram-string path churns ~150 short-lived strings per doc and
+    is memory-bandwidth-bound; measured 2x on the signature stage at
+    300k docs/local[32]). Gram ids are then formed numerically inside
+    the MinHash pandas UDFs (functions/minhash.py _mix_grams) — a
+    pure-Catalyst variant (xxhash64 over slices in transform()) was
+    measured far slower: higher-order-function lambdas evaluate
+    interpreted, allocating a slice array per gram."""
     return F.transform(tokens_col(text), lambda x: F.xxhash64(x))
 
 

@@ -149,18 +149,64 @@ def test_simhash_udf_matches_pure_python_reference(spark):
         assert r.fp == py_simhash(r.h), r.doc_id
 
 
+def test_minhash_udf_matches_pure_python_reference(spark):
+    """Cross-engine pin for the python half of the signature path: an
+    independently written pure-Python multiply-shift MinHash over
+    LITERAL gram arrays must reproduce the pandas-UDF signatures
+    bit-for-bit (incl. duplicate-gram invariance and the empty-set
+    sentinel)."""
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.functions.minhash import _perm_coeffs, minhash_udf
+
+    num_perm, seed = 32, 42
+    rows = [
+        (1, [3, 1 << 62, -5, 3, 7]),          # duplicates included
+        (2, [0]),
+        (3, [-(1 << 63), (1 << 63) - 1]),
+        (4, []),                               # empty -> sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grams array<long>")
+    got = {
+        r.doc_id: list(r.sig)
+        for r in df.select(
+            "doc_id", minhash_udf(num_perm, seed)(F.col("grams")).alias("sig")
+        ).collect()
+    }
+
+    MASK = (1 << 64) - 1
+    a, b = _perm_coeffs(num_perm, seed)
+
+    def py_sig(grams):
+        if not grams:
+            return [(1 << 63) - 1] * num_perm
+        us = [g & MASK for g in grams]
+        return [
+            min(((ai * g + bi) & MASK) for g in us) >> 32
+            for ai, bi in zip(a.tolist(), b.tolist())
+        ]
+
+    for doc_id, grams in rows:
+        assert got[doc_id] == py_sig(grams), doc_id
+    # duplicate invariance: multiset and set inputs agree
+    assert py_sig([3, 1 << 62, -5, 3, 7]) == py_sig([3, 1 << 62, -5, 7])
+
+
 def test_fused_minhash_udf_matches_pure_python_reference(spark):
-    """Cross-engine pin for the round-4 fused word-shingle path: an
-    independently written pure-Python reference (explicit per-gram
-    polynomial mix over Spark-computed token hashes, set(), then a
-    per-permutation multiply-shift min loop) must reproduce the
-    pandas-UDF shingle sets AND signatures bit-for-bit."""
+    """Cross-engine pin for the fused word path: an independently
+    written pure-Python reference (explicit per-gram polynomial mix
+    over Spark-computed token hashes, set(), then a per-permutation
+    multiply-shift min loop) must reproduce the pandas-UDF shingle
+    sets AND signatures bit-for-bit; the sig-only and sets-only UDFs
+    must agree with the fused struct."""
     from pyspark.sql import functions as F
 
     from fuzzy_matcher_spark.functions.minhash import (
         _GRAM_MIX,
         _perm_coeffs,
         token_gram_minhash_udf,
+        token_gram_sets_udf,
+        token_gram_sig_udf,
     )
     from fuzzy_matcher_spark.functions.shingles import token_hashes_col
 
@@ -175,9 +221,17 @@ def test_fused_minhash_udf_matches_pure_python_reference(spark):
         "doc_id", token_hashes_col("text").alias("th")
     )
     fused = token_gram_minhash_udf(num_perm, seed, n)
+    sig_only = token_gram_sig_udf(num_perm, seed, n)
+    sets_only = token_gram_sets_udf(n)
     rows = {
         r.doc_id: r
-        for r in df.select("doc_id", "th", fused(F.col("th")).alias("s")).collect()
+        for r in df.select(
+            "doc_id",
+            "th",
+            fused(F.col("th")).alias("s"),
+            sig_only(F.col("th")).alias("sig2"),
+            sets_only(F.col("th")).alias("sh2"),
+        ).collect()
     }
 
     MASK = (1 << 64) - 1
@@ -186,10 +240,11 @@ def test_fused_minhash_udf_matches_pure_python_reference(spark):
 
     def py_grams(tok_hashes):
         ts = [h & MASK for h in tok_hashes]  # two's-complement view
-        if len(ts) >= n:
-            windows = [ts[i : i + n] for i in range(len(ts) - n + 1)]
-        else:
-            windows = [ts]
+        windows = (
+            [ts[i : i + n] for i in range(len(ts) - n + 1)]
+            if len(ts) >= n
+            else [ts]
+        )
         out = set()
         for w in windows:
             h = w[0]
@@ -199,11 +254,10 @@ def test_fused_minhash_udf_matches_pure_python_reference(spark):
         return sorted(out)
 
     def py_sig(grams):
-        sig = []
-        for ai, bi in zip(a.tolist(), b.tolist()):
-            best = min(((ai * g + bi) & MASK) for g in grams)
-            sig.append(best >> 32)
-        return sig
+        return [
+            min(((ai * g + bi) & MASK) for g in grams) >> 32
+            for ai, bi in zip(a.tolist(), b.tolist())
+        ]
 
     def to_signed(u):
         return u - (1 << 64) if u >= 1 << 63 else u
@@ -212,3 +266,6 @@ def test_fused_minhash_udf_matches_pure_python_reference(spark):
         grams = py_grams(r.th)
         assert [to_signed(g) for g in grams] == list(r.s.shingle_hashes), doc_id
         assert py_sig(grams) == list(r.s.signature), doc_id
+        # split UDFs agree with the fused struct
+        assert list(r.sig2) == list(r.s.signature), doc_id
+        assert list(r.sh2) == list(r.s.shingle_hashes), doc_id
