@@ -275,8 +275,12 @@ def run_scaling_rep(n: int) -> None:
     t0 = time.perf_counter()
     minhash_dedup(docs, cfg).count()
     dt = time.perf_counter() - t0
-    after = host_speed_probe()
     spark.stop()
+    # probe AFTER stop: with the JVM alive, its housekeeping threads
+    # share the pinned cores and bias calib_sec upward (~0.13 -> 0.3
+    # at local[2]), flagging genuinely-quiet reps as noisy; external
+    # bursts last minutes, so a post-stop probe still catches them
+    after = host_speed_probe()
     print(
         "SCALING_REP "
         + json.dumps(
