@@ -437,6 +437,12 @@ def run_scaling(n_docs: int | None = None, words: int | None = None):
     out["all_levels_have_quiet_reps"] = all(_quiet_reps(n) >= 1 for n in levels)
     for n in levels:
         ok = [r for r in rep_log[n] if "sec" in r]
+        if not ok:
+            # every rep of this level died (error-only entries carry no
+            # 'sec'); record that instead of min() over an empty pool —
+            # partial results from the other level still get reported
+            out[f"local[{n}]"] = {"error": "no successful reps"}
+            continue
         pool = [r for r in ok if r["quiet"]] or ok
         best = min(r["sec"] for r in pool)
         out[f"local[{n}]"] = {
@@ -444,11 +450,14 @@ def run_scaling(n_docs: int | None = None, words: int | None = None):
             "docs_per_sec": round(n_corpus / best, 2),
         }
     lo, hi = sorted(levels)
-    eff = (
-        out[f"local[{hi}]"]["docs_per_sec"]
-        / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
-    )
-    out["scaling_efficiency_N_to_4N"] = round(eff, 4)
+    if "sec" in out[f"local[{lo}]"] and "sec" in out[f"local[{hi}]"]:
+        eff = (
+            out[f"local[{hi}]"]["docs_per_sec"]
+            / ((hi / lo) * out[f"local[{lo}]"]["docs_per_sec"])
+        )
+        out["scaling_efficiency_N_to_4N"] = round(eff, 4)
+    else:
+        out["scaling_efficiency_N_to_4N"] = None
     out["host_after"] = host_speed_probe()
     print(json.dumps(out))
 

@@ -42,9 +42,36 @@ _SHIFT32 = np.uint64(32)
 _WRAP = {"over": "ignore"}
 
 
+# Version of the signature CODE FORMAT — the hash family and gram-id
+# space, independent of DedupConfig values. v1 (rounds 1-3): mod-prime
+# permutations over xxhash64'd gram strings. v2 (round 4+):
+# multiply-shift family over a polynomial mix of per-token xxhash64.
+# Signatures (and exact-Jaccard shingle-id sets) computed under
+# different versions are INCOMPARABLE: band-joining them yields ~zero
+# agreement and silently misses duplicates. Any component that
+# persists signature state and later compares it against freshly
+# computed signatures must stamp this (see signature_format_id) and
+# refuse on mismatch — streaming/ingest.py and plans/pipeline.py do.
+SIGNATURE_FORMAT_VERSION = 2
+
+
+def signature_format_id(cfg: "DedupConfig") -> str:
+    """Compact stamp identifying the signature space: code-format
+    version + every config field that changes signature or shingle-id
+    values. Two tables with equal stamps are band-comparable."""
+    return (
+        f"v{SIGNATURE_FORMAT_VERSION}:{cfg.shingle_mode}{cfg.shingle_size}"
+        f":p{cfg.num_perm}:s{cfg.seed}:b{cfg.bands}x{cfg.rows_per_band}"
+    )
+
+
 def _perm_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    # multiply-shift family: a odd in [1, 2^64), b in [0, 2^63)
+    # multiply-shift family: a odd in [1, 2^63), b in [0, 2^62) — the
+    # top bit of each is never set (RandomState.randint caps the draw
+    # at 2^62), a slight narrowing of the textbook scheme that recall
+    # tests gate statistically; kept as-is because changing the draw
+    # changes every persisted signature (SIGNATURE_FORMAT_VERSION)
     a = (rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
     return a, b

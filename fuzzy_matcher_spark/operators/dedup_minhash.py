@@ -290,6 +290,11 @@ def verify_pairs(
 ) -> DataFrame:
     """(a, b, jaccard) for pairs passing the threshold.
 
+    Emits ONE row per distinct surviving (a, b) — duplicate input
+    pairs are tolerated and collapse. Precondition: ``id_col`` is
+    unique in the value relation (sig_df / shingle_df); duplicate ids
+    with differing values raise 'Duplicate map key'.
+
     exact=True decides with exact Jaccard over the shingle-hash sets
     (vectorized pandas UDF); exact=False decides with the JVM
     signature-agreement estimate alone (cheaper; documented bias).
@@ -361,9 +366,20 @@ def verify_pairs(
     # local[2] on identical data). collect_list keeps it
     # ObjectHashAggregate: hash-grouped, no sorts on either side of
     # the exchange.
+    # array_distinct before map_from_entries: duplicate (a, b) rows in
+    # ``pairs`` collapse into one group here and would collect exact-
+    # duplicate (id, value) entries — map_from_entries raises
+    # 'Duplicate map key' under the default EXCEPTION dedup policy.
+    # The old join-based recombine tolerated duplicate pairs (emitting
+    # duplicate rows); this shape emits ONE row per distinct pair.
+    # Remaining precondition (documented): ids in the value relation
+    # must be unique — duplicate ids with DIFFERING values are an
+    # ill-formed input and still raise.
     per_pair = tagged.groupBy("a", "b").agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col(id_col), F.col(val)))
+            F.array_distinct(
+                F.collect_list(F.struct(F.col(id_col), F.col(val)))
+            )
         ).alias("_m")
     ).select(
         "a",

@@ -88,8 +88,20 @@ class DedupPipeline:
         self.mode = mode
         self.id_col = id_col
         self.text_col = text_col
+        # sig_format folds SIGNATURE_FORMAT_VERSION into the drift
+        # check: a CODE change to the hash family / gram-id space (same
+        # DedupConfig values) makes old stage tables incomparable with
+        # freshly computed signatures, so resume must rebuild-or-refuse
+        # exactly as it does for a config change
+        from fuzzy_matcher_spark.functions.minhash import signature_format_id
+
         self._cfg_json = json.dumps(
-            {"mode": mode, **self.cfg.__dict__}, sort_keys=True
+            {
+                "mode": mode,
+                "sig_format": signature_format_id(self.cfg),
+                **self.cfg.__dict__,
+            },
+            sort_keys=True,
         )
 
     # -- checkpoint bookkeeping ---------------------------------------------

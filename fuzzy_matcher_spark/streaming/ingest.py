@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fuzzy_matcher_spark.config import DedupConfig
-from fuzzy_matcher_spark.functions.minhash import sig_agreement_col
+from fuzzy_matcher_spark.functions.minhash import (
+    sig_agreement_col,
+    signature_format_id,
+)
 from fuzzy_matcher_spark.operators.dedup_minhash import (
     add_signatures,
     candidate_pairs,
@@ -45,17 +48,60 @@ def incremental_dedup_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """Returns a foreachBatch(df, epoch_id) function."""
+    """Returns a foreachBatch(df, epoch_id) function.
+
+    Persisted-state guard: every appended signature row carries a
+    ``sig_format`` stamp (code-format version + signature-space config,
+    functions/minhash.signature_format_id). Signatures written under a
+    different hash family / gram-id space / banding config band-join
+    with ~zero agreement against fresh ones — duplicates would be
+    silently missed — so the sink REFUSES to append to a table whose
+    stamp mismatches (checked once per sink, on the first micro-batch
+    that finds an existing table). Recovery: recompute the table with
+    the current code/config, or run with the recorded config.
+    """
+    fmt = signature_format_id(cfg)
+    state = {"format_checked": False}
+
+    def _check_format(old: DataFrame) -> None:
+        if state["format_checked"]:
+            return
+        if "sig_format" not in old.columns:
+            raise ValueError(
+                f"{SIG_TABLE} predates signature-format stamping; its "
+                "signatures are not comparable with the current code "
+                f"(expected {fmt!r}). Rebuild it with the current "
+                "pipeline before streaming into it."
+            )
+        bad = (
+            old.select("sig_format")
+            .where(F.col("sig_format") != fmt)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"{SIG_TABLE} holds signatures with format "
+                f"{bad[0][0]!r} but the running config produces {fmt!r}"
+                "; mixed-format band joins silently miss duplicates. "
+                "Rebuild the table or match the recorded config."
+            )
+        state["format_checked"] = True
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        new_sigs = add_signatures(batch_df, cfg, text_col, id_col).persist()
+        new_sigs = (
+            add_signatures(batch_df, cfg, text_col, id_col)
+            .withColumn("sig_format", F.lit(fmt))
+            .persist()
+        )
 
         # candidates: new-vs-new (self) + new-vs-indexed (cross)
         pairs = candidate_pairs(new_sigs, cfg, id_col)
         if io.exists(SIG_TABLE):
             old = io.read(SIG_TABLE)
+            _check_format(old)
             from fuzzy_matcher_spark.functions.minhash import explode_bands
 
             nb = explode_bands(new_sigs, id_col, cfg)

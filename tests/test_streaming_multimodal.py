@@ -247,3 +247,80 @@ def test_real_codecs_through_spark(spark):
     )
     with pytest.raises(Exception, match="no codec"):
         extract_features(bad).collect()
+
+
+def test_sig_format_guard_refuses_mismatched_table(spark, tmp_path):
+    """Persisted-state guard (ADVICE r4): a stream_signatures table
+    written under a different signature space (format version, hash
+    family, shingle config) must be refused, not silently band-joined
+    with ~zero agreement."""
+    io = ParquetTableIO(spark, str(tmp_path / "wh"))
+    rows = generate_webpage_rows(n_families=3, singletons=2, seed=5)
+    docs = [(r[6], r[3]) for r in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sink = incremental_dedup_sink(io, CFG)
+    sink(df, 0)
+    from fuzzy_matcher_spark.functions.minhash import signature_format_id
+
+    assert (
+        io.read(SIG_TABLE).select("sig_format").distinct().collect()[0][0]
+        == signature_format_id(CFG)
+    )
+
+    # same table, different shingle config -> different signature space
+    other = DedupConfig(shingle_mode="char", shingle_size=9, jaccard_threshold=0.8)
+    sink2 = incremental_dedup_sink(io, other)
+    with pytest.raises(ValueError, match="sig.*format|format"):
+        sink2(df, 1)
+
+    # a pre-stamping table (no sig_format column) is refused too
+    legacy = io.read(SIG_TABLE).drop("sig_format")
+    io.write(legacy, SIG_TABLE, mode="overwrite")
+    sink3 = incremental_dedup_sink(io, CFG)
+    with pytest.raises(ValueError, match="predates"):
+        sink3(df, 2)
+
+
+def test_verify_pairs_tolerates_duplicate_pairs(spark):
+    """ADVICE r4: duplicate (a, b) rows in the candidate list must not
+    raise 'Duplicate map key'; they collapse to one output row."""
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        add_signatures,
+        verify_pairs,
+    )
+
+    rows = generate_webpage_rows(n_families=2, singletons=0, seed=3)
+    docs = [(r[6], r[3]) for r in rows]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = add_signatures(df, CFG)
+    ids = sorted(d[0] for d in docs)
+    dup_pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[0], ids[1]), (ids[0], ids[2])], "a long, b long"
+    )
+    out = verify_pairs(dup_pairs, sig, CFG).collect()
+    keys = [(r.a, r.b) for r in out]
+    assert len(keys) == len(set(keys))  # no duplicate output rows
+
+
+def test_cachereg_is_thread_local(spark):
+    """ADVICE r4: release_caches() in thread B must not unpersist
+    relations thread A registered (concurrent pipelines on one
+    session)."""
+    import threading
+
+    from fuzzy_matcher_spark.operators import cachereg
+
+    cachereg.release_caches()  # clean slate for this thread
+    df = spark.range(10).persist()
+    cachereg.register_cache(df)
+    df.count()
+    assert df.storageLevel.useMemory
+
+    t = threading.Thread(target=cachereg.release_caches)
+    t.start()
+    t.join()
+    assert df.storageLevel.useMemory  # untouched by the other thread
+
+    cachereg.release_caches()  # this thread's release does free it
+    assert not df.storageLevel.useMemory
