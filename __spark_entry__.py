@@ -483,6 +483,68 @@ def q_matcher_lev_search(spark, sf):
     return search(base, probes, cfg, probe_id_col="probe_id")
 
 
+def q_matcher_golden_roster(spark, sf):
+    """Reference-parity golden suite through the DRIVER contract
+    (r3 ask 7 / r4 VERDICT #5): the 20-member roster
+    (tests/test_data/example_members.json) probed with the reference's
+    fuzzy_search_cases.json + nickname scenario batch, full
+    strcmp95-LT matcher path (example_member_config: JW firstname 0.2
+    / JW surname 0.4 / exact birthdate 0.4, trie budgets, top-5).
+    Returns integer-stable columns plus the score rounded to 4
+    decimals; the DuckDB oracle is the literal expected VALUES —
+    i.e. a hash match IS reference parity, recorded in CORRECTNESS."""
+    from fuzzy_matcher_spark.config import example_member_config
+    from fuzzy_matcher_spark.operators.matcher import search
+    from fuzzy_matcher_spark.sources.members import (
+        members_df,
+        probe_validity_col,
+        probes_df,
+    )
+
+    cfg = example_member_config()
+    base = members_df(spark, cfg)
+    probes = probes_df(
+        spark,
+        [(i, fn, sn, bd) for i, (fn, sn, bd) in enumerate(GOLDEN_PROBES)],
+    )
+    out = search(base, probes, cfg, is_valid_col=probe_validity_col())
+    return out.select(
+        "probe_id",
+        "id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 4).alias("score_r"),
+    )
+
+
+# (firstname, surname, birthdate) probe batch: fuzzy_search_cases.json
+# + edge_case_tests.json + nickname_tests.json scenarios (the same
+# batches the golden pytest suite asserts score bands for)
+GOLDEN_PROBES = [
+    ("John", "Smith", "1990-05-15"),
+    ("Jon", "Smith", "1990-05-15"),
+    ("Micheal", "Brown", "1992-08-22"),
+    ("Sara", "Jhonson", "1985-12-03"),
+    ("Xyz", "Nonexistent", "2000-01-01"),
+    ("John", "Smith", "1985-01-01"),
+    ("Ema", "Davis", "1988-03-10"),
+    ("Jmes", "Wilson", "1995-01-18"),
+    ("Janes", "Wilson", "1995-01-18"),
+    ("Al", "Li", "1988-01-01"),
+    ("Jahn", "Smythe", "1990-05-15"),
+    ("John", "Johnson", "1990-01-01"),
+    ("Ben", "Anderson", "1989-09-14"),
+    ("Mike", "Brown", "1992-08-22"),
+    ("Liz", "Smith", "1990-05-15"),
+    ("Bill", "Moore", "1987-11-08"),
+    ("Alex", "Jackson", "1986-02-28"),
+    ("Chris", "Walker", "1987-04-02"),
+    ("Matt", "Lewis", "1995-05-23"),
+    ("Dan", "Garcia", "1988-08-07"),
+    ("Michael", "Brown", "1992-08-22"),
+    ("Bob", "Johnson", "1985-12-03"),
+]
+
+
 def q_lev_pairs_clusters(spark, sf):
     """Connected components over the (hash-matching) lev_pairs_parts
     edge set — oracled by DuckDB recursive min-label propagation, the
@@ -713,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "dedup_dropped": q_dedup_dropped,
         "matcher_exact_search": q_matcher_exact_search,
+        "matcher_golden_roster": q_matcher_golden_roster,
         "matcher_lev_search": q_matcher_lev_search,
         "matcher_jw_search": q_matcher_jw_search,
         "lev_pairs_clusters": q_lev_pairs_clusters,
@@ -1053,6 +1116,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
                      AS max_k
             FROM events GROUP BY event_type
+        """,
+        # Reference-parity pin: the 20-member roster + golden probe
+        # batch is a FIXED input (no testdata tables involved), so the
+        # oracle is the literal expected result — ported from the
+        # reference's golden fixtures (fuzzy_search_cases.json,
+        # edge_case_tests.json, nickname_tests.json score bands). A
+        # hash match in CORRECTNESS therefore IS reference parity for
+        # the full strcmp95-LT matcher path (candidates -> verify ->
+        # weighted score -> top-5), recorded through the driver
+        # contract instead of only pytest.
+        "matcher_golden_roster": """
+            SELECT CAST(probe_id AS BIGINT) AS probe_id,
+                   CAST(id AS BIGINT) AS id,
+                   CAST(rank AS INTEGER) AS rank,
+                   CAST(score_r AS DOUBLE) AS score_r
+            FROM (VALUES
+              (0, 1, 1, 1.0),
+              (1, 1, 1, 0.9867),
+              (2, 3, 1, 0.9957),
+              (3, 2, 1, 0.981),
+              (6, 4, 1, 0.9867),
+              (7, 5, 1, 0.9907),
+              (8, 5, 1, 0.9813),
+              (12, 9, 1, 0.9708),
+              (13, 3, 1, 0.9562),
+              (15, 7, 1, 0.9452),
+              (16, 11, 1, 0.9778),
+              (17, 19, 1, 0.9782),
+              (18, 17, 1, 0.9829),
+              (19, 15, 1, 0.9767),
+              (20, 3, 1, 1.0)
+            ) AS t(probe_id, id, rank, score_r)
         """,
         "matcher_exact_search": """
             WITH nb AS (

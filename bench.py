@@ -230,16 +230,21 @@ def run_suite(master: str, shuffle: int | None = None):
     # multi-tenant host jitter — min of three is the steady-state
     # number a long-running cluster job actually sees
     timings, rows = {}, {}
+    # full per-rep series kept alongside the best (r3 ask 2): when a
+    # driver capture and a judge rerun disagree, the series shows
+    # whether a rep was an outlier (host burst) or the steady state
+    series: dict[str, list[float]] = {}
     for name, fn in suite.items():
-        best = float("inf")
+        reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             rows[name] = fn(spark)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(round(time.perf_counter() - t0, 3))
+        series[name] = reps
+        timings[name] = min(reps)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     spark.stop()
-    return timings, rows, n_docs
+    return timings, rows, n_docs, series
 
 
 def run_scaling_rep(n: int) -> None:
@@ -581,7 +586,7 @@ def main():
     probe_before = host_speed_probe()
     # 3x cores shuffle partitions: same wave-balance reasoning as
     # run_scaling (one wave of cores-many tasks is straggler-bound)
-    timings, _, n_docs = run_suite(f"local[{CPUS}]", shuffle=3 * int(CPUS))
+    timings, _, n_docs, series = run_suite(f"local[{CPUS}]", shuffle=3 * int(CPUS))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -590,6 +595,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "rep_series": series,
                 "sf": _sf_from_dir(SF_DIR),
                 "docs": n_docs,
                 "docs_per_sec_minhash_dedup": round(

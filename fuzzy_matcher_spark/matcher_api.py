@@ -27,6 +27,19 @@ from fuzzy_matcher_spark.sources.tableio import TableIO
 
 BASE_TABLE = "matcher_base"
 
+# After this many incremental insert_entries calls the base relation's
+# lineage is truncated with a lazy localCheckpoint. The reference
+# matcher's Build is re-entrant into a live trie
+# (fuzzy_matcher_core.go:59-106) and callers use it for long-lived
+# incremental ingest; a plain unionByName chain grows the logical plan
+# by one Union per insert, so thousands of inserts build a plan tower
+# whose analysis/optimization cost dominates every later search (and
+# eventually overflows the driver stack). Checkpointing every N keeps
+# plan depth <= N Unions over a LogicalRDD root. Lazy (eager=False):
+# the truncation materializes on the next action, so insert itself
+# stays cheap — matching the reference's O(insert) cost shape.
+CHECKPOINT_EVERY = 32
+
 
 class FuzzyMatcher:
     def __init__(
@@ -42,6 +55,7 @@ class FuzzyMatcher:
         self.io = io
         self.id_col = id_col
         self._base: DataFrame | None = None
+        self._inserts_since_checkpoint = 0
         if io is not None and io.exists(BASE_TABLE):
             self._base = io.read(BASE_TABLE)
 
@@ -63,6 +77,11 @@ class FuzzyMatcher:
             self._base = prepared
         else:
             self._base = self._base.unionByName(prepared, allowMissingColumns=True)
+            self._inserts_since_checkpoint += 1
+            if self._inserts_since_checkpoint >= CHECKPOINT_EVERY:
+                # bound the union tower (see CHECKPOINT_EVERY)
+                self._base = self._base.localCheckpoint(eager=False)
+                self._inserts_since_checkpoint = 0
         if self.io is not None:
             self.io.write(prepared, BASE_TABLE, mode="append")
         return self

@@ -109,3 +109,68 @@ def connected_components(
     return children.union(roots).groupBy("id").agg(
         F.min("component").alias("component")
     )
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incremental cluster maintenance (SURVEY.md §3.3): fold a batch
+    of newly verified pairs into an existing (id, component) assignment
+    by re-running CC RESTRICTED to touched components — the incremental
+    path for streaming ingest (new near-dup pairs per micro-batch) and
+    for the delete path's cluster repair.
+
+    Correctness: a component's membership can only change if one of its
+    nodes appears in a new pair. The affected subgraph = every member
+    of every component containing a touched node, represented exactly
+    by its star edges (id -> component), plus the new pairs; CC over
+    that union reproduces precisely what a full re-run would assign to
+    those nodes (star edges preserve membership; min-relabel is
+    recomputed). Untouched components keep their rows verbatim, so the
+    result equals connected_components(all pairs ever seen) — asserted
+    end-to-end by tests/test_connected_components.py.
+
+    Cost at scale: shuffles are sized by the AFFECTED subgraph, not the
+    full cluster table — at 10^12 docs with a trickle of new pairs the
+    untouched-component anti-join is the only full-table pass (and on
+    Iceberg it becomes a partition-pruned MERGE).
+    """
+    cols = new_pairs.columns
+    edges = new_pairs.select(
+        F.col(cols[0]).alias("a"), F.col(cols[1]).alias("b")
+    )
+    touched = (
+        edges.select(F.explode(F.array("a", "b")).alias("id")).distinct()
+    )
+    affected_comps = (
+        prev.join(touched, "id").select("component").distinct()
+    )
+    affected = prev.join(affected_comps, "component").select("id", "component")
+    prior_star = affected.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("a"), F.col("component").alias("b")
+    )
+    # Constraint-lineage barrier: the batch edges and the prior-star
+    # edges both descend from checkpointed/persisted relations whose
+    # LogicalRDDs carry origin constraints, and Catalyst's
+    # Union.rewriteConstraints resolves child constraints against the
+    # head child's AttributeMap — a combination that throws
+    # NoSuchElementException ("key not found: u#...") once the
+    # star-iteration's self-unions re-derive constraints over this
+    # union. Checkpointing the unioned edge set (affected-subgraph-
+    # sized) replaces the whole subtree with a constraint-free
+    # LogicalRDD before CC's unions are built above it.
+    all_edges = edges.union(prior_star).localCheckpoint(eager=False)
+    sub = connected_components(all_edges, max_iter=max_iter)
+    # universe of nodes needing (re)assignment: members of affected
+    # components + nodes first seen in this batch
+    universe = affected.select("id").union(touched).distinct()
+    reassigned = universe.join(sub, "id", "left").select(
+        F.col("id"),
+        F.coalesce(F.col("component"), F.col("id")).alias("component"),
+    )
+    untouched = prev.join(affected_comps, "component", "left_anti").select(
+        "id", "component"
+    )
+    return untouched.unionByName(reassigned)

@@ -168,14 +168,41 @@ def _field_candidates(
     # (fuzzy_matcher_core.go:70-72 via recurse.go step 1). Empty probes
     # are excluded: the reference would complete them to the entire
     # trie, a deliberate semantic drop (documented, SURVEY §3.3 style).
-    # Prefix-1 equi-key keeps this a hash join, not a nested loop.
+    #
+    # Key width (skew): a 1-char equi-key has <= 36 distinct values —
+    # harmless under broadcast (no exchange on the key), but on the
+    # non-broadcast path it hash-partitions the whole base relation
+    # into <= 36 buckets, a guaranteed skew magnet. Non-broadcast
+    # completion therefore keys on the PROBE's (<=2)-char prefix: a
+    # base value extending a probe of length >= 2 shares its first two
+    # chars, and a length-1 probe its first char, so the base side
+    # emits BOTH its 1- and 2-char prefixes (exploded; array_distinct
+    # collapses them for 1-char values) and every true completion
+    # still meets its probe on exactly one key. Broadcast keeps the
+    # single 1-char key — exploding would double the big side's rows
+    # through the hash table for no partitioning benefit.
+    # Pathological residual skew (one dominant 2-gram) is what
+    # operators/pairs.salted_join is for.
     pall = p.where(F.length("_pn") > 0).select(probe_id_col, "_pn")
-    completion = (
-        b.where(F.length("_bn") > 0)
-        .withColumn("_k1", F.substring("_bn", 1, 1))
-        .join(
-            bc(pall.withColumn("_k1", F.substring("_pn", 1, 1))), "_k1"
+    bnn = b.where(F.length("_bn") > 0)
+    if broadcast_probes:
+        b_ck = bnn.withColumn("_k", F.substring("_bn", 1, 1))
+        p_ck = pall.withColumn("_k", F.substring("_pn", 1, 1))
+    else:
+        b_ck = bnn.select(
+            id_col,
+            "_bn",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.substring("_bn", 1, 1), F.substring("_bn", 1, 2)
+                    )
+                )
+            ).alias("_k"),
         )
+        p_ck = pall.withColumn("_k", F.substring("_pn", 1, 2))
+    completion = (
+        b_ck.join(bc(p_ck), "_k")
         .where(
             F.col("_bn").startswith(F.col("_pn")) & (F.col("_bn") != F.col("_pn"))
         )
@@ -186,14 +213,23 @@ def _field_candidates(
     # (utils.go:30-43 step 3) — the exact-prefix walk reaches a stored
     # value that is a proper prefix of the probe at NumEdits == 0, so
     # it matches even at all-zero budgets / for invalid probes (the
-    # probe's unconsumed suffix is the free query remainder). Same
-    # prefix-1 equi-key hash-join shape as the completion path.
+    # probe's unconsumed suffix is the free query remainder). Here the
+    # BASE value is the prefix, so the base side keys on its own
+    # (<=2)-char prefix — one key per base row on BOTH paths — and the
+    # probe side (always the small side) explodes its 1- and 2-char
+    # prefixes to meet length-1 and length->=2 base values.
+    b_mk = bnn.withColumn("_k", F.substring("_bn", 1, 2))
+    p_mk = pall.select(
+        probe_id_col,
+        "_pn",
+        F.explode(
+            F.array_distinct(
+                F.array(F.substring("_pn", 1, 1), F.substring("_pn", 1, 2))
+            )
+        ).alias("_k"),
+    )
     mirror = (
-        b.where(F.length("_bn") > 0)
-        .withColumn("_k1", F.substring("_bn", 1, 1))
-        .join(
-            bc(pall.withColumn("_k1", F.substring("_pn", 1, 1))), "_k1"
-        )
+        b_mk.join(bc(p_mk), "_k")
         .where(
             F.col("_pn").startswith(F.col("_bn")) & (F.col("_bn") != F.col("_pn"))
         )

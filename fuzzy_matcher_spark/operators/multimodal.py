@@ -24,6 +24,7 @@ Media table shape:
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Iterator
 
@@ -187,10 +188,22 @@ def _fake_features(content: bytes) -> np.ndarray:
     coarse positional means, L2-normalized. Stable across runs."""
     b = np.frombuffer(content or b"\x00", dtype=np.uint8)
     hist = np.bincount(b % 32, minlength=32).astype(np.float32)
-    chunks = np.array_split(b.astype(np.float32), 32)
+    # Exact float64 accumulation with ONE float32 rounding per
+    # component: chunk sums are integer-valued (exact in float64 at
+    # any summation order) and the norm uses math.fsum (correctly
+    # rounded), so the result is bit-reproducible across numpy
+    # versions/BLAS backends — np.mean/np.linalg.norm's pairwise
+    # float32 summation order is an implementation detail that is
+    # not. This also makes the vector exactly re-derivable from a
+    # pure-Python reference (tests/test_properties.py pins it);
+    # float32(float64 op) == direct float32 op for +,-,*,/ since
+    # 53 >= 2*24+2 (Figueroa), so the divisions below are still
+    # true float32 semantics.
+    chunks = np.array_split(b.astype(np.float64), 32)
     means = np.array([c.mean() if len(c) else 0.0 for c in chunks], np.float32)
     v = np.concatenate([hist, means])
-    n = np.linalg.norm(v)
+    sq = v.astype(np.float64)
+    n = np.float32(math.sqrt(math.fsum((sq * sq).tolist())))
     return v / n if n > 0 else v
 
 

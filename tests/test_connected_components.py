@@ -2,6 +2,8 @@
 
 import random
 
+from pyspark.sql import functions as F
+
 from fuzzy_matcher_spark.operators.connected_components import connected_components
 
 
@@ -58,3 +60,65 @@ def test_cc_mega_star(spark):
     got = connected_components(df)
     assert got.where("component != 0").count() == 0
     assert got.count() == 2001
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """SURVEY §3.3 / r4 VERDICT #7: folding pair micro-batches through
+    incremental_components (restricted CC re-run) must equal the full
+    batch recompute — exercised on the real pipeline's verified pairs
+    at 10k docs, split into 4 arrival epochs."""
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.connected_components import (
+        incremental_components,
+    )
+    from fuzzy_matcher_spark.operators.dedup_minhash import (
+        add_signatures,
+        candidate_pairs,
+        verify_pairs,
+    )
+    from fuzzy_matcher_spark.sources.synth import synthetic_docs
+
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
+    docs = synthetic_docs(spark, 10_000, 60)
+    sig = add_signatures(docs, cfg).persist()
+    pairs = (
+        verify_pairs(candidate_pairs(sig, cfg), sig, cfg)
+        .select("a", "b")
+        .persist()
+    )
+    assert pairs.count() > 100  # non-vacuous: planted dups produce pairs
+
+    full = connected_components(pairs)
+
+    prev = spark.createDataFrame([], "id long, component long")
+    for epoch in range(4):
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the
+        # dividend's sign, so `% 4 == epoch` would silently drop every
+        # negative-hash pair from all four epochs
+        batch = pairs.where(F.pmod(F.xxhash64("a", "b"), F.lit(4)) == epoch)
+        prev = incremental_components(prev, batch).localCheckpoint()
+
+    got = {(r.id, r.component) for r in prev.collect()}
+    want = {(r.id, r.component) for r in full.collect()}
+    assert got == want
+    sig.unpersist()
+    pairs.unpersist()
+
+
+def test_incremental_components_untouched_rows_survive(spark):
+    """Components with no touched node keep their assignment verbatim;
+    brand-new nodes in the batch get assigned."""
+    from fuzzy_matcher_spark.operators.connected_components import (
+        incremental_components,
+    )
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "id long, component long"
+    )
+    new = spark.createDataFrame([(11, 99), (100, 101)], "a long, b long")
+    got = {(r.id, r.component) for r in incremental_components(prev, new).collect()}
+    assert got == {
+        (1, 1), (2, 1),            # untouched component
+        (10, 10), (11, 10), (99, 10),   # 99 merges into component 10
+        (100, 100), (101, 100),    # brand-new pair
+    }

@@ -108,3 +108,35 @@ def test_facade_tableio_persistence(spark, tmp_path):
     hits = m2.search(_probe(spark, "Michael", "Brown", "1992-08-22"),
                      extraction=extraction_exprs()).collect()
     assert any(r.id == 3 for r in hits)
+
+
+def test_incremental_insert_lineage_bounded(spark):
+    """r3 ask 4 / r4 VERDICT #2: a long-lived matcher receiving many
+    incremental inserts must not build an unbounded Union tower —
+    insert_entries truncates lineage every CHECKPOINT_EVERY inserts.
+    Reference contract: re-entrant Build (fuzzy_matcher_core.go:59-106,
+    tests/integration_test.go:656-675)."""
+    from fuzzy_matcher_spark import matcher_api
+
+    m = FuzzyMatcher(CFG, spark)
+    rows = [
+        (i, f"first{i:03d}", f"sur{i:03d}", "1990-01-01") for i in range(200)
+    ]
+    for r in rows:
+        m.insert_entries(_members_raw(spark, [r]), extraction=extraction_exprs())
+
+    plan = m._base._jdf.queryExecution().analyzed().toString()
+    # without checkpointing the analyzed plan holds 199 Unions; with it
+    # at most one checkpoint window's worth survives
+    assert plan.count("Union") <= matcher_api.CHECKPOINT_EVERY
+    hits = m.search(
+        _probe(spark, "first007", "sur007", "1990-01-01"),
+        extraction=extraction_exprs(),
+    ).collect()
+    assert any(r.id == 7 for r in hits)
+    # rows from before AND after the last checkpoint are all searchable
+    hits = m.search(
+        _probe(spark, "first199", "sur199", "1990-01-01"),
+        extraction=extraction_exprs(),
+    ).collect()
+    assert any(r.id == 199 for r in hits)

@@ -77,3 +77,26 @@ def test_null_field_matcher(spark):
     # surname is required (min 0.9): JW("","") = 0 < 0.9 rejects the
     # null-surname member; Smith fails against the empty probe too
     assert ids == set(), got
+
+
+def test_non_broadcast_blocking_keys_are_two_chars(spark):
+    """r4 VERDICT #3: off the broadcast path the completion/mirror
+    joins must not hash-partition the base relation on a 1-char
+    (<=36-value) key — the exchanges key on (<=2)-char prefixes."""
+    cfg = example_member_config()
+    base = members_df(spark, cfg)
+    probes = probes_df(spark, [(0, "Jon", "Smith", "1990-05-15")])
+    out = search(
+        base, probes, cfg, is_valid_col=probe_validity_col(),
+        broadcast_probes=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the 2-char prefix keys appear in the exchanges; a lone
+    # substring(_bn, 1, 1) partitioning key would be the skew magnet
+    assert "substring(_bn" in plan or "substring(_pn" in plan
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "substring(_bn#" not in m.group(1) or ", 1, 1)" not in m.group(1), (
+            "exchange keyed on 1-char base prefix:\n" + m.group(0)
+        )

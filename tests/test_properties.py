@@ -269,3 +269,91 @@ def test_fused_minhash_udf_matches_pure_python_reference(spark):
         # split UDFs agree with the fused struct
         assert list(r.sig2) == list(r.s.signature), doc_id
         assert list(r.sh2) == list(r.s.shingle_hashes), doc_id
+
+
+def test_fake_features_matches_pure_python_reference(spark):
+    """media_features pin (r4 VERDICT #6): the numpy byte-statistics
+    featureizer behind the `media_features` digest, re-implemented in
+    pure Python (no numpy), must agree (a) to 2e-6 on every component
+    and (b) EXACTLY at the digest's round-to-5-decimals precision on
+    the real sf0.001 documents — so the rows-only driver query now has
+    an independent second implementation, the same pattern as the
+    SimHash/MinHash pins above."""
+    import math
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from fuzzy_matcher_spark.operators.multimodal import _fake_features
+
+    def f32(x: float) -> float:
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    def fake_features_py(raw: bytes) -> list:
+        b = list(raw) if raw else [0]
+        hist = [0.0] * 32
+        for x in b:
+            hist[x % 32] += 1.0
+        n = len(b)
+        k, m = divmod(n, 32)
+        means, pos = [], 0
+        for i in range(32):
+            sz = k + (1 if i < m else 0)
+            c = b[pos : pos + sz]
+            pos += sz
+            means.append(f32(math.fsum(c) / sz) if sz else 0.0)
+        v = [f32(x) for x in hist] + means
+        norm = math.sqrt(math.fsum(x * x for x in v))
+        if norm > 0:
+            v = [f32(x / f32(norm)) for x in v]
+        return v
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(60)
+        .collect()
+    )
+    payloads = [(r.doc_id, (r.text or "").encode("utf-8")) for r in docs]
+    payloads += [(10_001, b""), (10_002, b"\x00\x01\x02"), (10_003, bytes(range(256)) * 3)]
+
+    for _id, raw in payloads:
+        got = _fake_features(raw)
+        want = fake_features_py(raw)
+        assert len(got) == len(want) == 64
+        diffs = [abs(float(g) - w) for g, w in zip(got, want)]
+        assert max(diffs) < 2e-6, (_id, max(diffs))
+        # exact agreement at the digest's precision
+        assert [round(float(g), 5) for g in got] == [
+            round(w, 5) for w in want
+        ], _id
+
+    # end-to-end: the pure-python vectors, pushed through the SAME
+    # digest expression, reproduce q_media_features' digests
+    import __spark_entry__ as E
+
+    ids = [p[0] for p in payloads if p[0] <= 10_000]
+    spark_digest = {
+        r.media_id: r.feature_digest
+        for r in E.queries()["media_features"](spark, "/root/testdata/sf0.001")
+        .where(F.col("media_id").isin(ids))
+        .collect()
+    }
+    py_feats = spark.createDataFrame(
+        [(i, fake_features_py(raw)) for i, raw in payloads if i <= 10_000],
+        "media_id long, feature array<float>",
+    )
+    digest = F.xxhash64(
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature", lambda x: F.round(x.cast("double"), 5).cast("string")
+            ),
+        )
+    )
+    py_digest = {
+        r.media_id: r.d
+        for r in py_feats.select("media_id", digest.alias("d")).collect()
+    }
+    assert spark_digest == py_digest
