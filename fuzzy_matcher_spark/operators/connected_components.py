@@ -89,13 +89,18 @@ def connected_components(
     edges = _canonical(
         pairs.select(F.col(cols[0]).alias("u"), F.col(cols[1]).alias("v"))
     )
+    # lazy checkpoints: the signature collect below is the loop's one
+    # action per iteration and materializes the checkpoint as a side
+    # effect — eager=True would schedule a SECOND job per iteration
+    # just to materialize, and CC's per-iteration cost is job/barrier
+    # overhead, not data (the serial term the scaling rig measures)
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=False)
     prev_sig = None
     for _ in range(max_iter):
         edges = _canonical(_small_star(_large_star(edges)))
         if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
+            edges = edges.localCheckpoint(eager=False)
         sig = _signature(edges)
         if sig == prev_sig:
             break

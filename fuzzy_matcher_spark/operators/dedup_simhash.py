@@ -61,24 +61,55 @@ def add_fingerprints(
 
 
 def simhash_candidate_pairs(
-    fp_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
+    fp_df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    with_fingerprints: bool = True,
 ) -> DataFrame:
+    """Bit-slice bucketed candidate pairs. By default each pair also
+    carries both fingerprints (``fingerprint_a`` / ``fingerprint_b``):
+    the fingerprint is ONE i64, so riding it through the bucket
+    self-join's existing shuffles costs ~8 bytes/row while letting
+    simhash_verify run join-free — vs the old shape's TWO candidate-
+    sized shuffle joins back to the fingerprint relation. Set
+    ``with_fingerprints=False`` for the bare (a, b) edge list."""
     if cfg.simhash_hamming_max > cfg.simhash_tables - 1:
         raise ValueError(
             "pigeonhole guarantee requires hamming_max <= tables - 1 "
             f"(got r={cfg.simhash_hamming_max}, tables={cfg.simhash_tables})"
         )
+    keep = ["table_id", "slice_key", id_col] + (
+        ["fingerprint"] if with_fingerprints else []
+    )
     idx = explode_slices(fp_df, id_col, "fingerprint", cfg.simhash_tables).select(
-        "table_id", "slice_key", id_col
+        *keep
     )
     return capped_self_join_pairs(
-        idx, ["table_id", "slice_key"], id_col, cfg.max_band_bucket
+        idx,
+        ["table_id", "slice_key"],
+        id_col,
+        cfg.max_band_bucket,
+        payload="fingerprint" if with_fingerprints else None,
     )
 
 
 def simhash_verify(
     pairs: DataFrame, fp_df: DataFrame, cfg: DedupConfig, id_col: str = "doc_id"
 ) -> DataFrame:
+    """Hamming verification. When ``pairs`` carries fingerprints (the
+    simhash_candidate_pairs default) this is a pure projection+filter —
+    Catalyst pushes the deterministic bit_count predicate below the
+    candidate distinct()/union, so unverified duplicates die before the
+    dedup shuffle. Pairs without fingerprints (e.g. a resumed stage
+    table written by an older run) fall back to the two-join shape."""
+    if "fingerprint_a" in pairs.columns:
+        return (
+            pairs.withColumn(
+                "hamming", hamming_col("fingerprint_a", "fingerprint_b")
+            )
+            .where(F.col("hamming") <= cfg.simhash_hamming_max)
+            .select("a", "b", "hamming")
+        )
     fa = fp_df.select(F.col(id_col).alias("a"), F.col("fingerprint").alias("_fa"))
     fb = fp_df.select(F.col(id_col).alias("b"), F.col("fingerprint").alias("_fb"))
     return (

@@ -24,8 +24,20 @@ def capped_self_join_pairs(
     bucket_keys: list[str],
     id_col: str,
     cap: int,
+    payload: str | None = None,
 ) -> DataFrame:
     """idx(bucket_keys..., id_col) -> distinct (a, b) with a < b.
+
+    With ``payload`` (a narrow per-id column, e.g. the 8-byte SimHash
+    fingerprint), the output additionally carries ``{payload}_a`` /
+    ``{payload}_b`` so a downstream verifier needs ZERO joins back to
+    the id->payload relation — the payload rides the window/regroup
+    shuffles this function already pays. Only worth it for per-id
+    payloads of a few bytes; wide payloads (MinHash signatures,
+    shingle sets) belong in a candidate-sized join instead
+    (dedup_minhash.verify_pairs). The payload must be functionally
+    determined by ``id_col`` or the closing distinct() re-duplicates
+    pairs.
 
     Join-free shape: one window pass tags every index row with its
     bucket size and the bucket hub (min id); small buckets regroup
@@ -50,8 +62,23 @@ def capped_self_join_pairs(
     tagged = idx.select(
         *bucket_keys,
         F.col(id_col),
+        *([F.col(payload)] if payload else []),
         F.count(F.lit(1)).over(w).alias("_bn"),
         F.min(id_col).over(w).alias("_hub"),
+        # the star branch pairs every member against the hub, so the
+        # hub's payload is resolved in the same window pass — min over
+        # (id, payload) structs = the min-id row (ids unique), and
+        # struct-min is window-safe on every Spark version this repo
+        # targets (min_by over a window is not)
+        *(
+            [
+                F.min(F.struct(F.col(id_col), F.col(payload)))
+                .over(w)[payload]
+                .alias("_hub_pay")
+            ]
+            if payload
+            else []
+        ),
     )
     # tagged feeds TWO branches (small-bucket regroup + big-bucket star
     # pairs). ReuseExchange does not fire across them under AQE, so an
@@ -62,7 +89,16 @@ def capped_self_join_pairs(
     # release_caches()/new dedup calls free it.
     tagged = _register_cache(tagged.persist())
 
-    ids = F.sort_array(F.collect_list(id_col))
+    if payload:
+        # struct sorts by field order => (id, payload) sorts by id
+        # (ids unique), keeping the a < b emission order identical to
+        # the payload-free shape
+        elem = F.struct(
+            F.col(id_col).alias("i"), F.col(payload).alias("p")
+        )
+    else:
+        elem = F.col(id_col)
+    ids = F.sort_array(F.collect_list(elem))
     grouped = (
         tagged.where((F.col("_bn") <= cap) & (F.col("_bn") >= 2))
         .groupBy(*bucket_keys)
@@ -81,29 +117,60 @@ def capped_self_join_pairs(
                 ),
             )
         )
-        pairs_small = (
-            grouped.select(F.explode(combos).alias("_p"))
-            .select(F.col("_p.a"), F.col("_p.b"))
-        )
+        exploded = grouped.select(F.explode(combos).alias("_p"))
+        if payload:
+            pairs_small = exploded.select(
+                F.col("_p.a.i").alias("a"),
+                F.col("_p.b.i").alias("b"),
+                F.col("_p.a.p").alias(f"{payload}_a"),
+                F.col("_p.b.p").alias(f"{payload}_b"),
+            )
+        else:
+            pairs_small = exploded.select(F.col("_p.a"), F.col("_p.b"))
     else:
         n = F.size("_ids")
-        pairs_small = (
+        exploded = (
             grouped.select(
-                F.col("_ids"), F.posexplode("_ids").alias("_i", "a")
+                F.col("_ids"), F.posexplode("_ids").alias("_i", "_a")
             )
             .select(
-                "a",
+                "_a",
                 F.explode(
                     F.slice(F.col("_ids"), F.col("_i") + 2, n - F.col("_i") - 1)
-                ).alias("b"),
+                ).alias("_b"),
             )
         )
+        if payload:
+            pairs_small = exploded.select(
+                F.col("_a.i").alias("a"),
+                F.col("_b.i").alias("b"),
+                F.col("_a.p").alias(f"{payload}_a"),
+                F.col("_b.p").alias(f"{payload}_b"),
+            )
+        else:
+            pairs_small = exploded.select(
+                F.col("_a").alias("a"), F.col("_b").alias("b")
+            )
 
     pairs_big = (
         tagged.where((F.col("_bn") > cap) & (F.col(id_col) != F.col("_hub")))
-        .select(F.col("_hub").alias("a"), F.col(id_col).alias("b"))
+        .select(
+            F.col("_hub").alias("a"),
+            F.col(id_col).alias("b"),
+            *(
+                [
+                    F.col("_hub_pay").alias(f"{payload}_a"),
+                    F.col(payload).alias(f"{payload}_b"),
+                ]
+                if payload
+                else []
+            ),
+        )
     )
 
+    # distinct over (a, b[, payloads]): payload is functionally
+    # determined by id (precondition above), so cardinality matches
+    # the payload-free distinct
     return pairs_small.union(pairs_big).distinct()
 
 

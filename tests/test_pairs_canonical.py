@@ -72,3 +72,69 @@ def test_capped_pairs_large_cap_path_equivalent(spark):
     capped = pairs_with(4)
     assert {(100, 101)} <= capped
     assert {(0, i) for i in range(1, 9)} <= capped  # k1 star, hub=0
+
+
+def test_capped_pairs_payload_rides_through(spark):
+    """payload= carries the per-id column through every branch (small
+    flattened-combos, two-step explode, star) with the same (a, b) set
+    as the payload-free call and payloads equal to a join-back."""
+    import fuzzy_matcher_spark.operators.pairs as P
+
+    rows = [("k1", i) for i in range(9)] + [("k2", 100), ("k2", 101)] + [
+        ("k3", 207), ("k3", 203), ("k3", 205), ("k3", 211)
+    ] + [("solo", 42)]
+    idx = spark.createDataFrame(rows, "bk string, doc_id long").withColumn(
+        "fp", F.col("doc_id") * 1000 + 7
+    )
+
+    def run(cap, flat_max=None):
+        orig = P._FLAT_COMBOS_MAX_CAP
+        try:
+            if flat_max is not None:
+                P._FLAT_COMBOS_MAX_CAP = flat_max
+            return {
+                (r.a, r.b, r.fp_a, r.fp_b)
+                for r in P.capped_self_join_pairs(
+                    idx, ["bk"], "doc_id", cap, payload="fp"
+                ).collect()
+            }
+        finally:
+            P._FLAT_COMBOS_MAX_CAP = orig
+
+    bare = {
+        (r.a, r.b)
+        for r in P.capped_self_join_pairs(idx, ["bk"], "doc_id", 16).collect()
+    }
+    for got in (run(16), run(16, flat_max=1)):  # both small-bucket paths
+        assert {(a, b) for a, b, *_ in got} == bare
+        assert all(pa == a * 1000 + 7 and pb == b * 1000 + 7
+                   for a, b, pa, pb in got)
+
+    star = run(4)  # k1 capped -> hub payload from the window min_by
+    assert {(a, b) for a, b, *_ in star} >= {(0, i) for i in range(1, 9)}
+    assert all(pa == a * 1000 + 7 and pb == b * 1000 + 7
+               for a, b, pa, pb in star)
+
+
+def test_simhash_fused_verify_matches_join_verify(spark):
+    """simhash_candidate_pairs(with_fingerprints=True) + join-free
+    verify must equal the legacy bare-pairs + two-join verify on real
+    near-dup docs."""
+    from fuzzy_matcher_spark.config import DedupConfig
+    from fuzzy_matcher_spark.operators.dedup_simhash import (
+        add_fingerprints,
+        simhash_candidate_pairs,
+        simhash_verify,
+    )
+    from fuzzy_matcher_spark.sources.synth import synthetic_docs
+
+    cfg = DedupConfig(shingle_mode="word", shingle_size=4)
+    fp = add_fingerprints(synthetic_docs(spark, 2000, 40), cfg).persist()
+    fused = simhash_verify(simhash_candidate_pairs(fp, cfg), fp, cfg)
+    legacy = simhash_verify(
+        simhash_candidate_pairs(fp, cfg, with_fingerprints=False), fp, cfg
+    )
+    got = {(r.a, r.b, r.hamming) for r in fused.collect()}
+    want = {(r.a, r.b, r.hamming) for r in legacy.collect()}
+    assert got == want and len(got) > 10
+    fp.unpersist()
