@@ -378,6 +378,14 @@ def run_scaling(n_docs: int | None = None, words: int | None = None):
         "words": words,
         "host_before": host_speed_probe(),
         "gates": {"calib_sec": calib_quiet, "fault_sec": fault_quiet},
+        # traceability: which code produced this artifact
+        "git_rev": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+        or None,
     }
     rep_log: dict[int, list] = {n: [] for n in levels}
     n_corpus = 0
