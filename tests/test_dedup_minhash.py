@@ -163,3 +163,46 @@ def test_empty_and_tiny_docs(spark):
     assert got[0] == got[1]  # empty docs are identical
     assert got[2] == got[4]  # identical tiny docs cluster
     assert got[3] not in (got[0], got[2])
+
+
+def test_jaccard_udf_kernel_matches_python_sets(spark):
+    """The batch-lexsort Jaccard kernel must agree with python set
+    arithmetic on adversarial rows: nulls, empties, disjoint, subset,
+    singletons, and large random distinct sets (the producers
+    guarantee duplicate-free arrays via array_distinct)."""
+    import random
+
+    from fuzzy_matcher_spark.operators.dedup_minhash import jaccard_udf
+
+    rng = random.Random(7)
+    cases = [
+        ([], []),
+        ([], [1, 2]),
+        ([5], [5]),
+        ([1, 2, 3], [4, 5, 6]),
+        ([1, 2, 3, 4], [2, 3]),
+        (None, [1]),
+        ([1], None),
+        (None, None),
+        ([-(2**62), 0, 2**62], [0]),
+    ]
+    for _ in range(40):
+        a = rng.sample(range(-1000, 1000), rng.randint(0, 60))
+        b = rng.sample(range(-1000, 1000), rng.randint(0, 60))
+        cases.append((a, b))
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+        "i long, a array<long>, b array<long>",
+    )
+    got = {
+        r.i: r.j
+        for r in df.select("i", jaccard_udf("a", "b").alias("j")).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        if a is None or b is None:
+            want = 0.0
+        else:
+            sa, sb = set(a), set(b)
+            want = len(sa & sb) / len(sa | sb) if (sa | sb) else 1.0
+        assert abs(got[i] - want) < 1e-12, (i, a, b, got[i], want)
