@@ -748,6 +748,23 @@ def q_lsh_ann_topk(spark, sf):
     return lsh_topk(emb, probes, k=3)
 
 
+def q_ivf_ann_topk(spark, sf):
+    """IVF-flat ANN (driver-trained spherical k-means + inverted-list
+    equi-join + exact re-rank; operators/ann.py::ivf_topk). Rows-only:
+    the k-means training loop is not SQL-expressible — recall vs brute
+    force and centroid determinism are pinned by tests/test_ann_lsh.py,
+    and exact-cosine re-rank parity rides the ann_topk oracle."""
+    from fuzzy_matcher_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_topk(emb, probes, k=3, n_centroids=32, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -790,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_meta": q_media_meta,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - ``brute_force_topk``: exact cosine top-k. Probes (small) are
   broadcast; the dot product / norms are pure JVM higher-order
@@ -13,6 +13,19 @@ Two paths:
   equi-joins (capped for skew), then exact cosine ranks the candidates.
   Scale path: bucket join replaces the probe x corpus product; recall
   is tunable via (tables, bits).
+
+- ``ivf_topk``: inverted-file index (IVF-flat, the faiss/SPANN family).
+  Spherical k-means centroids trained DRIVER-SIDE on a bounded,
+  deterministic sample (TakeOrderedAndProject by xxhash64 — a map-side
+  partial top-N, never a full sort/shuffle), broadcast to executors
+  inside the assignment UDF's closure (k*dim floats — a few hundred KB
+  at production sizes). One corpus scan assigns each vector to its
+  nearest centroid ("inverted list"); probes fan out to their nprobe
+  nearest lists and candidates come from a plain list_id equi-join.
+  Vs LSH: one index row per vector (not ``tables``), candidates need
+  no dedup (each corpus id lives in exactly one list), and recall is
+  tuned by a RUNTIME knob (nprobe) instead of an index-build knob —
+  the standard trade across the public ANN literature.
 """
 
 from __future__ import annotations
@@ -160,6 +173,143 @@ def lsh_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means centroids, float32 (n_centroids, dim).
+
+    The training sample is the ``train_size`` rows with the smallest
+    xxhash64(id) — deterministic for a given corpus, and collected via
+    TakeOrderedAndProject (per-partition top-N merged on the driver),
+    so the only driver-side materialization is the bounded sample
+    itself: at the defaults ~4096 * dim floats, regardless of corpus
+    size. Lloyd iterations run on the driver in numpy (k-means is
+    inherently iterative-with-global-state; distributing ~10 rounds
+    over a 4096-row sample would pay 10 job/barrier round-trips to
+    save microseconds of matmul). Empty clusters are reseeded to the
+    points farthest from their current centroid — deterministic, and
+    the standard k-means repair.
+    """
+    sample = (
+        corpus.select(F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_size)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r[0], dtype=np.float32) for r in sample])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.maximum(norms, 1e-12)
+    n = len(mat)
+    k = min(n_centroids, n)
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = mat @ cents.T  # (n, k) cosine (rows unit-norm)
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+            else:
+                # reseed to the globally worst-served point
+                cents[c] = mat[int(np.argmin(np.max(sims, axis=1)))]
+    return cents.astype(np.float32)
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """pandas UDF: embedding -> array<int> of the nprobe nearest list
+    ids (by cosine). ``nprobe=1`` for corpus assignment, >1 for probe
+    fan-out. Centroids travel in the closure (broadcast once per
+    executor by task serialization, k*dim float32)."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float32)
+    np_ = min(nprobe, len(cents))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            mat = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            sims = mat @ cents.T  # (n, k)
+            if np_ == 1:
+                top = np.argmax(sims, axis=1)[:, None]
+            else:
+                part = np.argpartition(-sims, np_ - 1, axis=1)[:, :np_]
+                order = np.argsort(
+                    -np.take_along_axis(sims, part, axis=1), axis=1
+                )
+                top = np.take_along_axis(part, order, axis=1)
+            yield pd.Series(list(top.astype(np.int32)))
+
+    return _udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    train_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF-flat inverted index.
+
+    Plan shape: ONE corpus scan computes (id, list_id) — the inverted
+    index, a narrow int pair per vector; probes (small by contract)
+    fan out to nprobe lists and broadcast into the list_id equi-join,
+    so the only exchange is the candidate-sized vector join-back (ids
+    are unique per list: no dedup shuffle at all, unlike LSH's
+    per-table union). Residual skew (one hot list) is a plain
+    equi-join for AQE's skew-split — capping would silently cost
+    recall, the wrong trade for a search operator. Recall is a runtime
+    knob: nprobe/n_centroids, re-ranked by exact cosine
+    (tests/test_ann_lsh.py pins recall vs brute force).
+    """
+    cents = train_ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, train_size, seed=seed
+    )
+    assign1 = ivf_assign_udf(cents, 1)
+    assignp = ivf_assign_udf(cents, nprobe)
+    cidx = corpus.select(
+        F.col(id_col), assign1(F.col(vec_col))[0].alias("_list")
+    )
+    pidx = probes.select(
+        F.col(probe_id_col),
+        F.explode(assignp(F.col(vec_col))).alias("_list"),
+    )
+    cand = (
+        cidx.join(F.broadcast(pidx), "_list")
+        .where(F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col)
+    )
+    cv = corpus.select(F.col(id_col), F.col(vec_col))
+    pv = probes.select(F.col(probe_id_col), F.col(vec_col).alias("_pv"))
+    scored = (
+        cand.join(cv, id_col)
+        .join(F.broadcast(pv), probe_id_col)
+        .withColumn(
+            "cosine",
+            dot_col(vec_col, "_pv") / (norm_col(vec_col) * norm_col("_pv")),
+        )
+        .select(probe_id_col, id_col, "cosine")
+    )
+    return topk_per_group(
+        scored, [probe_id_col], [F.desc("cosine"), F.col(id_col)], k
     )
 
 

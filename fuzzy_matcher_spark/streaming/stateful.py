@@ -1,0 +1,146 @@
+"""Custom stateful streaming operator: first-seen dedup with TTL.
+
+``seen_filter`` is the streaming analog of exact dedup
+(operators/dedup_exact.py) built on ``applyInPandasWithState`` — the
+Structured Streaming surface for operators whose per-key state is not
+expressible as a windowed aggregate. Each group key (the content key:
+xxhash64(text), a SimHash fingerprint, a media digest...) keeps ONE
+tiny state row: the first-seen doc id and a running count. Every
+arriving row is emitted with its verdict:
+
+    (key, doc_id, canonical_id, is_duplicate, n_seen_before)
+
+so the "keep" stream is ``where(~is_duplicate)`` and the "drop" stream
+retains full lineage to its canonical survivor — the same contract as
+the batch path's (id, component) + keep_canonical, but incremental and
+O(state) = O(distinct keys), not O(rows seen).
+
+TTL: state expires ``ttl_ms`` after the key's last arrival
+(ProcessingTimeTimeout), mirroring the reference matcher's lazy TTL
+expiry semantics (fuzzy_matcher_core.go expiry contract — entries
+vanish after their TTL and a re-arrival is a fresh insert). ``ttl_ms=0``
+disables expiry (NoTimeout).
+
+Scale: state lives in the state store, partitioned by key — adding
+executors splits both arrival processing and the store; no driver
+state, no global structure. The per-key state row is ~32 bytes, so
+10^10 distinct keys ~ 320 GB across the cluster, and TTL bounds it for
+rolling corpora. The pandas hop is Arrow-batched per key group (the
+applyInPandasWithState contract), and the function body is O(batch).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("canonical_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        # last-arrival wall clock (ms). TTL is enforced LAZILY against
+        # this stamp when the key next arrives — ProcessingTimeTimeout
+        # alone is only a state-store GC: Spark does not raise
+        # hasTimedOut for a key that receives data in the same trigger
+        # its timeout expired, so an expired-but-not-yet-GC'd key
+        # would otherwise read as already-seen. The stamp makes expiry
+        # exact (the reference's read-time TTL predicate); the timeout
+        # remains as the store-size bound for keys that never return.
+        T.StructField("last_ms", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("canonical_id", T.LongType()),
+        T.StructField("is_duplicate", T.BooleanType()),
+        T.StructField("n_seen_before", T.LongType()),
+    ]
+)
+
+
+def _seen_func(ttl_ms: int):
+    def func(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL expired with no new arrivals: drop the state row.
+            # Nothing to emit — the key's next arrival (if any) will
+            # be treated as first-seen again, the reference's lazy
+            # expiry contract.
+            state.remove()
+            return
+        now_ms = int(time.time() * 1000)
+        if state.exists:
+            canonical, n_seen, last_ms = state.get
+            if ttl_ms > 0 and now_ms - last_ms > ttl_ms:
+                # lazy expiry: the key outlived its TTL between
+                # arrivals — treat this arrival as first-seen
+                canonical, n_seen = None, 0
+        else:
+            canonical, n_seen = None, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # arrival order within the micro-batch: doc_id ascending —
+            # deterministic across retries (Spark may replay a batch;
+            # row order inside it is not stable, doc_id is)
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            if canonical is None:
+                canonical = int(ids[0])
+            n = len(ids)
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "doc_id": ids,
+                    "canonical_id": canonical,
+                    "is_duplicate": [(n_seen + i) > 0 for i in range(n)],
+                    "n_seen_before": [n_seen + i for i in range(n)],
+                }
+            )
+            n_seen += n
+        state.update((canonical, n_seen, now_ms))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+
+    return func
+
+
+def seen_filter(
+    stream: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    ttl_ms: int = 0,
+) -> DataFrame:
+    """Stateful first-seen dedup over a streaming DataFrame.
+
+    ``stream`` must be a streaming relation with a long ``key_col``
+    (the content key — compute it upstream with e.g.
+    ``F.xxhash64("text")``) and a long ``id_col``. Returns the
+    per-arrival verdict stream (OUTPUT_SCHEMA, append mode).
+    """
+    keyed = stream.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("key").applyInPandasWithState(
+        _seen_func(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

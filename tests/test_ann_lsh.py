@@ -69,6 +69,54 @@ def test_lsh_dup_pairs_equals_brute_force(spark):
         assert r.cosine == pytest.approx(ref, abs=1e-12)
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF-flat must recover >= 0.95 of the exact k=1 neighbors for
+    probes with true near-duplicates (a near-duplicate's nearest
+    centroid is its source's centroid with overwhelming probability,
+    and nprobe widens the window); exact-cosine re-rank makes any
+    recovered neighbor's score exact."""
+    from fuzzy_matcher_spark.operators.ann import ivf_topk
+
+    rows = _planted_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.where(F.col("vec_id") >= 120).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in brute_force_topk(emb, probes, k=1).collect()
+    }
+    got_rows = ivf_topk(
+        emb, probes, k=1, n_centroids=16, nprobe=4, train_size=160
+    ).collect()
+    approx = {(r.probe_id, r.vec_id) for r in got_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # re-rank scores are exact cosine (spot check one row)
+    r = got_rows[0]
+    a = np.asarray(dict(rows)[r.probe_id])
+    b = np.asarray(dict(rows)[r.vec_id])
+    ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert r.cosine == pytest.approx(ref, abs=1e-12)
+
+
+def test_ivf_centroids_deterministic(spark):
+    """Same corpus + seed -> bit-identical centroids (the sample is
+    xxhash64-ordered, not partition-ordered), so a re-run of the
+    assignment stage reproduces the same inverted lists — required
+    for resumable pipelines that persist (id, list_id)."""
+    from fuzzy_matcher_spark.operators.ann import train_ivf_centroids
+
+    rows = _planted_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = train_ivf_centroids(emb, 16, train_size=100)
+    c2 = train_ivf_centroids(
+        emb.repartition(7), 16, train_size=100
+    )
+    assert c1.shape == (16, DIM)
+    assert np.array_equal(c1, c2)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """lsh_topk must recover >= 0.95 of the exact nearest neighbors
     (k=1) for probes that have true near-duplicates — lower ranks are
