@@ -765,6 +765,31 @@ def q_ivf_ann_topk(spark, sf):
     return ivf_topk(emb, probes, k=3, n_centroids=32, nprobe=8)
 
 
+def q_contamination_hits(spark, sf):
+    """Benchmark decontamination hit report (operators/decontaminate.py):
+    docs sharing >= 1 word 13-gram with the held-out set (doc_id % 10
+    == 0 plays the eval set). Bloom prefilter ON — the oracle proves
+    it drops nothing. Generalizes the reference's probe-vs-index
+    search contract to span-level containment."""
+    from fuzzy_matcher_spark.operators.decontaminate import contamination_hits
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return contamination_hits(corpus, bench, n=13)
+
+
+def q_decontaminated_keep(spark, sf):
+    """Keep-side of decontamination: corpus docs with zero benchmark
+    13-gram overlap (anti-join against the hit report)."""
+    from fuzzy_matcher_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, n=13).select("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "normalize_docs": q_normalize_docs,
@@ -808,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "contamination_hits": q_contamination_hits,
+        "decontaminated_keep": q_decontaminated_keep,
     }
 
 
@@ -816,6 +843,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# shared word-13-gram CTE for the decontamination oracles (mirrors
+# shingles.py word mode including the short-doc whole-string fallback)
+_DECON_GRAMS = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CASE WHEN len(t) >= 13
+          THEN list_distinct(list_transform(range(1, len(t) - 11),
+                             i -> array_to_string(t[i:i+12], ' ')))
+          ELSE [array_to_string(t, ' ')] END AS gs
+      FROM tok
+    ),
+    eg AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+"""
 _STOPS = (
     "['the','and','of','to','is','der','die','und','das','ist',"
     "'el','la','que','los','una','le','les','des','est','dans']"
@@ -1335,5 +1378,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    source AS src
             FROM documents
+        """,
+        # word 13-grams mirror functions/shingles.py exactly: lower,
+        # split on non-alphanumeric runs, drop empties, space-join;
+        # docs shorter than 13 tokens contribute their whole token
+        # string as one gram. A hash match proves the Spark side's
+        # xxhash64 gram compression + bloom prefilter lose nothing.
+        "contamination_hits": _DECON_GRAMS + """
+            , bench AS (SELECT DISTINCT g FROM eg WHERE doc_id % 10 = 0)
+            SELECT eg.doc_id, count(DISTINCT eg.g) AS n_hit_grams
+            FROM eg JOIN bench USING (g)
+            WHERE eg.doc_id % 10 <> 0
+            GROUP BY eg.doc_id
+        """,
+        "decontaminated_keep": _DECON_GRAMS + """
+            , bench AS (SELECT DISTINCT g FROM eg WHERE doc_id % 10 = 0)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 10 <> 0
+              AND NOT EXISTS (
+                SELECT 1 FROM eg JOIN bench USING (g)
+                WHERE eg.doc_id = d.doc_id)
         """,
     }
