@@ -765,6 +765,30 @@ def q_ivf_ann_topk(spark, sf):
     return ivf_topk(emb, probes, k=3, n_centroids=32, nprobe=8)
 
 
+def q_cross_dup_pairs(spark, sf):
+    """Cross-corpus near-dup pairs (operators/dedup_cross.py): even
+    doc_ids play the existing indexed corpus, odd ids the new crawl.
+    Same signature config as the flagship; oracled by DuckDB
+    brute-force cross-side Jaccard."""
+    from fuzzy_matcher_spark.operators.dedup_cross import cross_dup_pairs
+
+    docs = _t(spark, sf, "documents")
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    probes = docs.where(F.col("doc_id") % 2 == 1)
+    return cross_dup_pairs(idx, probes, DEDUP_CFG)
+
+
+def q_cross_dedup_keep(spark, sf):
+    """Keep-side of cross-corpus dedup: new-crawl docs with no
+    near-duplicate in the indexed corpus (ids only)."""
+    from fuzzy_matcher_spark.operators.dedup_cross import cross_dedup_keep
+
+    docs = _t(spark, sf, "documents")
+    idx = docs.where(F.col("doc_id") % 2 == 0)
+    probes = docs.where(F.col("doc_id") % 2 == 1)
+    return cross_dedup_keep(idx, probes, DEDUP_CFG).select("doc_id")
+
+
 def q_contamination_hits(spark, sf):
     """Benchmark decontamination hit report (operators/decontaminate.py):
     docs sharing >= 1 word 13-gram with the held-out set (doc_id % 10
@@ -835,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "contamination_hits": q_contamination_hits,
         "decontaminated_keep": q_decontaminated_keep,
+        "cross_dup_pairs": q_cross_dup_pairs,
+        "cross_dedup_keep": q_cross_dedup_keep,
     }
 
 
@@ -843,6 +869,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# shared word-4-gram shingle-set CTE for the cross-corpus dedup
+# oracles (same grammar as the near_dup_pairs oracle: DEDUP_CFG is
+# word mode, shingle_size=4, zero-token docs excluded)
+_CROSS_SHINGLES = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4
+             THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+3], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t WHERE len(toks) > 0
+    )
+"""
 
 # shared word-13-gram CTE for the decontamination oracles (mirrors
 # shingles.py word mode including the short-doc whole-string fallback)
@@ -1398,5 +1444,33 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                 SELECT 1 FROM eg JOIN bench USING (g)
                 WHERE eg.doc_id = d.doc_id)
+        """,
+        # cross-corpus dedup: brute-force Jaccard restricted to
+        # (even index) x (odd probe) pairs — same shingle grammar as
+        # the near_dup_pairs oracle, so a hash match additionally
+        # proves the asymmetric banding + id-remapped verify path
+        "cross_dup_pairs": _CROSS_SHINGLES + """
+            , p AS (
+              SELECT a.doc_id AS index_id, b.doc_id AS probe_id,
+                     len(list_intersect(a.sh, b.sh)) AS i,
+                     len(a.sh) AS la, len(b.sh) AS lb
+              FROM s a JOIN s b
+                ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+            )
+            SELECT index_id, probe_id, i / (la + lb - i) AS jaccard
+            FROM p WHERE i / (la + lb - i) >= 0.8
+        """,
+        "cross_dedup_keep": _CROSS_SHINGLES + """
+            , hit AS (
+              SELECT DISTINCT b.doc_id
+              FROM s a JOIN s b
+                ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.8
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_id = d.doc_id)
         """,
     }
