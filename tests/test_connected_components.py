@@ -1,6 +1,12 @@
-"""Connected components: large-star/small-star vs union-find oracle."""
+"""Connected components: large-star/small-star vs union-find oracle.
+
+The key tests run BOTH paths: the driver union-find fast path
+(default cap) and the distributed star loop (driver_max_edges=0).
+"""
 
 import random
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -23,41 +29,45 @@ def _uf_components(n_nodes, edges):
     return {i: find(i) for i in range(n_nodes)}
 
 
-def test_cc_simple(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0], ids=["driver", "stars"])
+def test_cc_simple(spark, cap):
     edges = [(1, 2), (2, 3), (10, 11), (20, 20)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.id: r.component for r in connected_components(df).collect()}
+    got = {r.id: r.component for r in connected_components(df, driver_max_edges=cap).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}  # self-loop dropped
 
 
-def test_cc_long_chain(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0], ids=["driver", "stars"])
+def test_cc_long_chain(spark, cap):
     """Path graph — worst case for naive propagation; star algorithms
     converge in O(log n) rounds."""
     n = 200
     edges = [(i, i + 1) for i in range(n - 1)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.id: r.component for r in connected_components(df).collect()}
+    got = {r.id: r.component for r in connected_components(df, driver_max_edges=cap).collect()}
     assert set(got.values()) == {0}
     assert len(got) == n
 
 
-def test_cc_random_vs_union_find(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0], ids=["driver", "stars"])
+def test_cc_random_vs_union_find(spark, cap):
     rng = random.Random(123)
     n = 300
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = {r.id: r.component for r in connected_components(df).collect()}
+    got = {r.id: r.component for r in connected_components(df, driver_max_edges=cap).collect()}
     oracle = _uf_components(n, edges)
     nodes_in_edges = {x for e in edges for x in e if e[0] != e[1]}
     for node in nodes_in_edges:
         assert got[node] == oracle[node], node
 
 
-def test_cc_mega_star(spark):
+@pytest.mark.parametrize("cap", [1_000_000, 0], ids=["driver", "stars"])
+def test_cc_mega_star(spark, cap):
     """Skewed mega-cluster: one hub connected to 2000 nodes."""
     edges = [(0, i) for i in range(1, 2001)]
     df = spark.createDataFrame(edges, "a long, b long")
-    got = connected_components(df)
+    got = connected_components(df, driver_max_edges=cap)
     assert got.where("component != 0").count() == 0
     assert got.count() == 2001
 
@@ -122,3 +132,17 @@ def test_incremental_components_untouched_rows_survive(spark):
         (10, 10), (11, 10), (99, 10),   # 99 merges into component 10
         (100, 100), (101, 100),    # brand-new pair
     }
+
+
+def test_cc_cap_overflow_falls_back_to_stars(spark):
+    """An edge set one past the cap takes the distributed loop and
+    still matches the union-find oracle."""
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(59)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    small_cap = connected_components(df, driver_max_edges=5)
+    default = connected_components(df)
+    a = {r.id: r.component for r in small_cap.collect()}
+    b = {r.id: r.component for r in default.collect()}
+    assert a == b
