@@ -164,7 +164,15 @@ def connected_components(
                     T.StructField("component", edges.schema["v"].dataType),
                 ]
             )
-            return pairs.sparkSession.createDataFrame(comp, schema)
+            out = pairs.sparkSession.createDataFrame(comp, schema)
+            # the assignment is known-small here (bounded by 2x the
+            # edge cap); the hint lets every downstream join (roster
+            # left-join, canonical election) skip its shuffle —
+            # parallelize()d relations otherwise report unknown stats
+            # and plan sort-merge
+            if len(comp) <= 500_000:
+                out = out.hint("broadcast")
+            return out
     # lazy checkpoints: the signature collect below is the loop's one
     # action per iteration and materializes the checkpoint as a side
     # effect — eager=True would schedule a SECOND job per iteration
