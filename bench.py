@@ -190,6 +190,8 @@ def build_suite():
         "topk_orders": lambda s: E.q_topk_orders_per_customer(s, SF_DIR).count(),
         "events_hourly": lambda s: E.q_events_hourly(s, SF_DIR).count(),
         "ann_topk": lambda s: E.q_ann_topk(s, SF_DIR).count(),
+        "cross_dedup_keep": lambda s: E.q_cross_dedup_keep(s, SF_DIR).count(),
+        "decontaminate": lambda s: E.q_decontaminated_keep(s, SF_DIR).count(),
     }
 
 

@@ -154,6 +154,15 @@ def connected_components(
     edges = _canonical(
         pairs.select(F.col(cols[0]).alias("u"), F.col(cols[1]).alias("v"))
     )
+    # lazy checkpoints: the loop's one action per iteration (and the
+    # size probe below, when enabled) materializes the checkpoint as a
+    # side effect — eager=True would schedule a SECOND job just to
+    # materialize, and CC's per-iteration cost is job/barrier
+    # overhead, not data (the serial term the scaling rig measures).
+    # Checkpointing BEFORE the probe means an overflowing probe's
+    # partial distinct work is cached for the loop instead of redone.
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     if driver_max_edges:
         head = edges.limit(driver_max_edges + 1).collect()
         if len(head) <= driver_max_edges:
@@ -173,13 +182,6 @@ def connected_components(
             if len(comp) <= 500_000:
                 out = out.hint("broadcast")
             return out
-    # lazy checkpoints: the signature collect below is the loop's one
-    # action per iteration and materializes the checkpoint as a side
-    # effect — eager=True would schedule a SECOND job per iteration
-    # just to materialize, and CC's per-iteration cost is job/barrier
-    # overhead, not data (the serial term the scaling rig measures)
-    if checkpoint:
-        edges = edges.localCheckpoint(eager=False)
     for _ in range(max_iter):
         edges = _canonical(_small_star(_large_star(edges)))
         if checkpoint:
