@@ -249,6 +249,29 @@ def run_suite(master: str, shuffle: int | None = None):
     return timings, rows, n_docs, series
 
 
+def run_scaling_gen(n_docs: int, words: int, corpus: str) -> None:
+    """Corpus generation in a FRESH process — invoked as
+    ``python bench.py --scaling-gen N_DOCS WORDS CORPUS`` by
+    run_scaling. Same isolation rationale as run_scaling_rep: the
+    py4j gateway JVM outlives ``spark.stop()``, so an in-process
+    generator leaves an 8 GiB pre-touched heap RESIDENT for the whole
+    capture (measured: a 9.3 GiB-RSS zombie JVM alongside every rep of
+    the round-5 800k capture until killed mid-run — rep JVM + zombie
+    = ~18.5 GiB, exactly at the host's fast-resident cliff). A fresh
+    process takes its heap with it when it exits."""
+    from fuzzy_matcher_spark.session import get_spark
+    from fuzzy_matcher_spark.sources.synth import synthetic_docs
+
+    spark = get_spark(master="local[16]")
+    # >= 3x the highest level's cores worth of files, so the scan
+    # itself is parallel enough at both levels and neither level
+    # pays an extra repartition the other skips
+    synthetic_docs(spark, n_docs, words).repartition(96).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    spark.stop()
+
+
 def run_scaling_rep(n: int) -> None:
     """ONE pinned scaling rep in a FRESH process — invoked as
     ``python bench.py --scaling-rep N`` by run_scaling.
@@ -340,27 +363,26 @@ def run_scaling(n_docs: int | None = None, words: int | None = None):
     words = words or int(os.environ.get("SPARK_GRAFT_SCALE_WORDS", "400"))
     os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "8g")
-    from pyspark.sql import functions as F
-
-    from fuzzy_matcher_spark.config import DedupConfig
-    from fuzzy_matcher_spark.operators.dedup_minhash import minhash_dedup
-    from fuzzy_matcher_spark.session import get_spark
-    from fuzzy_matcher_spark.sources.synth import synthetic_docs
-
     corpus = os.environ.get(
         "SPARK_GRAFT_SCALE_CORPUS",
         f"/tmp/spark_graft_scale_corpus_{n_docs}x{words}.parquet",
     )
-    cfg = DedupConfig(shingle_mode="word", shingle_size=4, jaccard_threshold=0.8)
     if not os.path.exists(corpus):
-        spark = get_spark(master="local[16]")
-        # >= 3x the highest level's cores worth of files, so the scan
-        # itself is parallel enough at both levels and neither level
-        # pays an extra repartition the other skips
-        synthetic_docs(spark, n_docs, words).repartition(96).write.mode(
-            "overwrite"
-        ).parquet(corpus)
-        spark.stop()
+        # fresh process: the generator JVM's 8 GiB pre-touched heap
+        # must DIE before reps start, not linger as a py4j zombie
+        # inside the fast-resident budget (see run_scaling_gen)
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--scaling-gen",
+                str(n_docs),
+                str(words),
+                corpus,
+            ],
+            check=True,
+            timeout=3600,
+        )
         time.sleep(10)  # generator heap freed -> budget replenishes
 
     levels = tuple(
@@ -580,6 +602,10 @@ def main():
         return
     if "--scaling-rep" in sys.argv:
         run_scaling_rep(int(sys.argv[sys.argv.index("--scaling-rep") + 1]))
+        return
+    if "--scaling-gen" in sys.argv:
+        i = sys.argv.index("--scaling-gen")
+        run_scaling_gen(int(sys.argv[i + 1]), int(sys.argv[i + 2]), sys.argv[i + 3])
         return
     if "--scaling" in sys.argv:
         run_scaling()

@@ -135,6 +135,7 @@ def contamination_hits(
     bloom_prefilter: bool = True,
     bloom_bits_log2: int = 24,
     bloom_k: int = 4,
+    bloom_max_grams: int = 8_000_000,
 ) -> DataFrame:
     """Per-document contamination report: (id, n_hit_grams) for every
     corpus doc sharing >= 1 word n-gram with the benchmark set.
@@ -150,13 +151,20 @@ def contamination_hits(
         F.col(id_col), gram_hashes_col(text_col, n).alias("_grams")
     )
     if bloom_prefilter:
-        hashes = np.array([r.g for r in bench.collect()], dtype=np.int64)
-        if len(hashes):
+        # bounded probe (CC-style limit(cap+1)): the driver only ever
+        # holds <= bloom_max_grams hashes — Arrow-batched toPandas, so
+        # that is ~64 MB of int64 at the default, not 8M boxed Rows. A
+        # benchmark too large to bloom skips the prefilter and relies
+        # on the exact broadcast join alone — same results, no
+        # unbounded collect.
+        head = bench.limit(bloom_max_grams + 1).toPandas()["g"]
+        if len(head) == 0:
+            doc_grams = doc_grams.where(F.lit(False))
+        elif len(head) <= bloom_max_grams:
+            hashes = head.to_numpy(np.int64)
             bits = _bloom_bits(hashes, bloom_bits_log2, bloom_k)
             might = bloom_might_overlap_udf(bits, bloom_bits_log2, bloom_k)
             doc_grams = doc_grams.where(might(F.col("_grams")))
-        else:
-            doc_grams = doc_grams.where(F.lit(False))
     exploded = doc_grams.select(
         F.col(id_col), F.explode("_grams").alias("g")
     )

@@ -90,6 +90,25 @@ def test_bloom_bits_no_false_negatives():
     assert present.all()
 
 
+def test_bloom_cap_overflow_falls_back_to_join(spark):
+    """A benchmark too large to bloom skips the prefilter (bounded
+    driver collect) and the exact join alone gives the same answer."""
+    docs = _corpus(spark)
+    bench = docs.where(F.col("doc_id") < 2)
+    corpus = docs.where(F.col("doc_id") >= 100)
+    capped = sorted(
+        (r.doc_id, r.n_hit_grams)
+        for r in contamination_hits(
+            corpus, bench, bloom_prefilter=True, bloom_max_grams=1
+        ).collect()
+    )
+    plain = sorted(
+        (r.doc_id, r.n_hit_grams)
+        for r in contamination_hits(corpus, bench, bloom_prefilter=False).collect()
+    )
+    assert capped == plain and len(capped) > 0
+
+
 def test_empty_benchmark_flags_nothing(spark):
     docs = _corpus(spark)
     bench = docs.where(F.lit(False))
