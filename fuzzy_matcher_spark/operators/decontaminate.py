@@ -9,29 +9,42 @@ reference's notion of "query vs indexed corpus" matching (the matcher
 probes an index, fuzzy_matcher_core.go search contract) to span-level
 exact containment at corpus scale.
 
+Gram id space (round 6): gram ids are formed NUMERICALLY from the
+per-token xxhash64 values — the same degree-(n-1) polynomial mix the
+MinHash pipeline uses (functions/minhash.py _mix_grams) — instead of
+xxhash64 over JVM-allocated 13-word gram STRINGS. The old
+single-expression gram column inlined the tokenizer into the gram
+lambda (no CSE for higher-order-function lambdas), and the optimizer
+evaluated that expression up to FOUR times per corpus row (inferred
+explode filter twice + bloom-UDF input + explode projection) — see
+plans/r06/decontaminate_before.txt. Only the ids change; the mapping
+gram-string -> int64 stays injective modulo 64-bit collisions, exactly
+the reliance the xxhash64 id space already had, so per-document hit
+counts (what the oracles compare) are unchanged.
+
 Shape contract and scale story:
 
 - The BENCHMARK side is small by contract (eval sets are thousands of
-  documents, not billions). Its distinct gram hashes are broadcast —
-  the corpus is never shuffled.
-- The CORPUS side is one scan. Grams are built JVM-side
-  (functions/shingles.py window expressions), hashed to int64
-  (xxhash64) before the explode, so the exploded stream is 8-byte
-  longs, not gram strings — ~10x narrower at 100 TB.
-- An optional per-document BLOOM PREFILTER (on by default) tests the
-  whole gram-hash array against a bitset built from the benchmark
-  grams BEFORE exploding: clean documents (the overwhelming majority)
-  are dismissed in one vectorized pass and never produce exploded
-  rows. Zero false negatives by construction (a bloom filter never
-  reports absent for a present key); false positives only cost a
-  wasted explode, caught by the exact join behind it.
-- The only shuffle in the whole job is the per-document hit count —
-  sized by CONTAMINATED gram volume, which is ~0 on clean corpora.
+  documents, not billions). Its distinct gram ids are collected once
+  (bounded: ``limit(cap+1).toPandas``, <= 64 MB of int64 at the
+  default cap) and broadcast; the corpus is never shuffled.
+- The CORPUS side is one scan: per-token xxhash64 (cheap JVM
+  expression, one tokenizer pass per row) -> ONE vectorized pandas
+  hop that mixes gram ids and counts distinct benchmark hits per doc
+  (bloom dismissal of clean docs, exact sorted-array membership for
+  bloom survivors — zero false positives AND zero false negatives).
+  No explode, no join, no shuffle: the hit report is a pure
+  projection+filter over the scan.
+- A benchmark too large to collect (> bloom_max_grams distinct grams,
+  or ``bloom_prefilter=False``) falls back to the distributed shape:
+  gram arrays explode to 8-byte longs and broadcast-equi-join the
+  benchmark gram relation; the only shuffle is the per-document hit
+  count, sized by CONTAMINATED gram volume (~0 on clean corpora).
 
 Gram semantics match functions/shingles.py word mode exactly
 (lowercase, non-alphanumeric-run split, space-joined n-grams, whole
 short docs as a single gram) so the DuckDB oracle in
-__spark_entry__.py can reproduce them from the raw text.
+__spark_entry__.py reproduces them from the raw text.
 """
 
 from __future__ import annotations
@@ -44,36 +57,60 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.shingles import (
-    shingle_hashes_col,
-    tokens_col,
-    word_shingles_from_tokens,
-)
+from ..functions.minhash import _mix_grams
+from ..functions.shingles import token_hashes_col
 
 __all__ = [
-    "gram_hashes_col",
     "benchmark_gram_hashes",
-    "bloom_might_overlap_udf",
     "contamination_hits",
     "decontaminate",
 ]
 
 
-def gram_hashes_col(text: Column | str, n: int) -> Column:
-    """array<long>: distinct xxhash64 word n-gram ids for one doc."""
-    return shingle_hashes_col(word_shingles_from_tokens(tokens_col(text), n))
+# Sentinel gram ids for degenerate docs. A null text used to gram to
+# {xxhash64(NULL)} and a zero-token text to {xxhash64('')}; in the
+# numeric id space they become fixed constants instead. Any constants
+# work — gram ids only need to be CONSISTENT between the corpus and
+# benchmark sides and injective w.r.t. gram strings (the same 64-bit
+# no-collision reliance the xxhash64 id space had).
+_NULL_TEXT_GRAM = np.array([-7046029254386353131], dtype=np.int64)
+_ZERO_TOKEN_GRAM = np.array([8379871191168913415], dtype=np.int64)
+
+
+def _doc_grams(token_hashes, n: int) -> np.ndarray:
+    """DISTINCT gram ids of one doc from its token-hash array (the
+    _mix_grams polynomial; whole-doc gram for docs shorter than n,
+    sentinels for null/zero-token docs)."""
+    if token_hashes is None:
+        return _NULL_TEXT_GRAM
+    if len(token_hashes) == 0:
+        return _ZERO_TOKEN_GRAM
+    t = np.asarray(token_hashes, dtype=np.int64).astype(np.uint64)
+    return np.unique(_mix_grams(t, n)).astype(np.int64)
+
+
+def gram_sets_udf(n: int):
+    """pandas UDF: per-token xxhash64 array -> DISTINCT gram ids.
+    Marked non-deterministic so the optimizer cannot duplicate the
+    evaluation into inferred explode filters (guide §4.4 — the old
+    JVM gram expression was evaluated 4x that way)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for tok_hashes in it:
+            yield pd.Series([_doc_grams(th, n) for th in tok_hashes])
+
+    return _udf.asNondeterministic()
 
 
 def benchmark_gram_hashes(
     benchmark: DataFrame, n: int, text_col: str = "text"
 ) -> DataFrame:
-    """Distinct gram-hash relation (column ``g``) for the benchmark
-    side. Small by contract — intended for broadcast."""
-    return (
-        benchmark.select(F.explode(gram_hashes_col(text_col, n)).alias("g"))
-        .where(F.col("g").isNotNull())
-        .distinct()
-    )
+    """Distinct gram-id relation (column ``g``) for the benchmark
+    side. Small by contract — intended for broadcast/collection."""
+    return benchmark.select(
+        F.explode(gram_sets_udf(n)(token_hashes_col(text_col))).alias("g")
+    ).distinct()
 
 
 def _bloom_bits(hashes: np.ndarray, bits_log2: int, k: int) -> np.ndarray:
@@ -92,38 +129,65 @@ def _bloom_bits(hashes: np.ndarray, bits_log2: int, k: int) -> np.ndarray:
     return bits
 
 
-def bloom_might_overlap_udf(bits: np.ndarray, bits_log2: int, k: int):
-    """pandas UDF: array<long> gram hashes -> bool (any gram possibly
-    in the benchmark set). Vectorized over the whole Arrow batch: all
-    rows' grams are flattened into one probe array, then any-reduced
-    per row. The bitset travels in the closure (task broadcast)."""
-    mask = np.uint64((1 << bits_log2) - 1)
+def _bloom_bits_log2_for(n_keys: int) -> int:
+    """~16 bits/key rounded up to a power of two (FPR ~ 5e-4 at k=4),
+    clamped to [16, 28] — the ADVICE r5 fix: a fixed 2^24 bitset
+    saturated (FPR ~1) at the 8M-gram cap, making the prefilter pure
+    overhead exactly when it mattered most."""
+    bits = 16 * max(n_keys, 1)
+    return max(16, min(28, int(bits - 1).bit_length()))
 
-    @F.pandas_udf(T.BooleanType())
+
+def hit_count_udf(bench_sorted: np.ndarray, n: int, bits, bits_log2: int, k: int):
+    """pandas UDF: per-token xxhash64 array -> count of DISTINCT gram
+    ids present in the benchmark gram set (0 for clean docs).
+
+    Vectorized over the whole Arrow batch: all rows' gram ids are
+    flattened into one probe array; the bloom bitset (right-sized,
+    zero false negatives) dismisses the overwhelmingly-clean stream,
+    survivors get EXACT membership via binary search over the sorted
+    benchmark array, and verdicts scatter back to their owning row.
+    ``bench_sorted``/``bits`` arrive via a real Spark broadcast (one
+    fetch per python worker, not per task closure)."""
+    mask = np.uint64((1 << bits_log2) - 1) if bits is not None else None
+
+    @F.pandas_udf(T.LongType())
     def _udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for grams in it:
-            lens = grams.map(lambda a: 0 if a is None else len(a)).to_numpy(np.int64)
-            if lens.sum() == 0:
-                yield pd.Series(np.zeros(len(grams), dtype=bool))
-                continue
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in grams if a is not None and len(a)]
-            ).astype(np.uint64)
-            h1 = flat & np.uint64(0xFFFFFFFF)
-            h2 = (flat >> np.uint64(32)) | np.uint64(1)
-            hit = np.ones(len(flat), dtype=bool)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) & mask
-                hit &= (bits[idx >> np.uint64(6)] >> (idx & np.uint64(63))) & np.uint64(1) != 0
-            # any-reduce per row: scatter each flat probe's verdict
-            # back to its owning row (handles empty-gram rows, which
-            # reduceat's segment bounds would not)
-            owner = np.repeat(np.arange(len(grams)), lens)
-            out = np.zeros(len(grams), dtype=bool)
-            np.logical_or.at(out, owner, hit)
-            yield pd.Series(out)
+        bench = bench_sorted.value if hasattr(bench_sorted, "value") else bench_sorted
+        bitset = bits.value if hasattr(bits, "value") else bits
+        for tok_hashes in it:
+            m = len(tok_hashes)
+            grams = [_doc_grams(th, n) for th in tok_hashes]
+            lens = np.fromiter((len(g) for g in grams), np.int64, count=m)
+            flat = (
+                np.concatenate(grams) if m else np.empty(0, np.int64)
+            )
+            if bitset is not None and len(flat):
+                h = flat.astype(np.uint64)
+                h1 = h & np.uint64(0xFFFFFFFF)
+                h2 = (h >> np.uint64(32)) | np.uint64(1)
+                maybe = np.ones(len(flat), dtype=bool)
+                for i in range(k):
+                    idx = (h1 + np.uint64(i) * h2) & mask
+                    maybe &= (
+                        bitset[idx >> np.uint64(6)] >> (idx & np.uint64(63))
+                    ) & np.uint64(1) != 0
+            else:
+                maybe = np.ones(len(flat), dtype=bool)
+            hit = np.zeros(len(flat), dtype=bool)
+            cand = np.nonzero(maybe)[0]
+            if len(cand) and len(bench):
+                sub = flat[cand]
+                pos = np.searchsorted(bench, sub)
+                ok = pos < len(bench)
+                eq = np.zeros(len(sub), dtype=bool)
+                eq[ok] = bench[pos[ok]] == sub[ok]
+                hit[cand] = eq
+            owner = np.repeat(np.arange(m), lens)
+            counts = np.bincount(owner[hit], minlength=m).astype(np.int64)
+            yield pd.Series(counts)
 
-    return _udf
+    return _udf.asNondeterministic()
 
 
 def contamination_hits(
@@ -133,40 +197,55 @@ def contamination_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     bloom_prefilter: bool = True,
-    bloom_bits_log2: int = 24,
+    bloom_bits_log2: int | None = None,
     bloom_k: int = 4,
     bloom_max_grams: int = 8_000_000,
 ) -> DataFrame:
     """Per-document contamination report: (id, n_hit_grams) for every
     corpus doc sharing >= 1 word n-gram with the benchmark set.
 
-    Plan: benchmark grams -> distinct hashes (broadcast); corpus ->
-    gram-hash array (one scan, JVM) -> optional bloom dismissal of
-    clean docs -> explode survivors -> broadcast equi-join -> count
-    distinct hits per doc. The count shuffle carries only matched
-    (id, gram) rows.
+    Default plan (``bloom_prefilter=True``, benchmark fits the cap):
+    benchmark gram ids -> distinct -> bounded driver collect
+    (``limit(cap+1).toPandas``, CC-style) -> sorted array + bloom
+    bitset broadcast; corpus -> token hashes (one cheap JVM pass) ->
+    ONE pandas hop that counts exact distinct hits per doc. ZERO
+    corpus shuffles — the report is a projection+filter.
+
+    Fallback (``bloom_prefilter=False``, or > cap distinct benchmark
+    grams): no driver state at all — gram arrays explode and
+    broadcast-equi-join the benchmark gram relation; the only shuffle
+    is the per-doc hit count, sized by contaminated gram volume. Both
+    paths compute identical results.
     """
+    from .dedup_minhash import ensure_parallelism
+
     bench = benchmark_gram_hashes(benchmark, n, text_col)
-    doc_grams = docs.select(
-        F.col(id_col), gram_hashes_col(text_col, n).alias("_grams")
-    )
+    corpus = ensure_parallelism(docs)
     if bloom_prefilter:
-        # bounded probe (CC-style limit(cap+1)): the driver only ever
-        # holds <= bloom_max_grams hashes — Arrow-batched toPandas, so
-        # that is ~64 MB of int64 at the default, not 8M boxed Rows. A
-        # benchmark too large to bloom skips the prefilter and relies
-        # on the exact broadcast join alone — same results, no
-        # unbounded collect.
         head = bench.limit(bloom_max_grams + 1).toPandas()["g"]
         if len(head) == 0:
-            doc_grams = doc_grams.where(F.lit(False))
-        elif len(head) <= bloom_max_grams:
+            return corpus.select(
+                F.col(id_col),
+                F.lit(0).cast("long").alias("n_hit_grams"),
+            ).where(F.lit(False))
+        if len(head) <= bloom_max_grams:
             hashes = head.to_numpy(np.int64)
-            bits = _bloom_bits(hashes, bloom_bits_log2, bloom_k)
-            might = bloom_might_overlap_udf(bits, bloom_bits_log2, bloom_k)
-            doc_grams = doc_grams.where(might(F.col("_grams")))
-    exploded = doc_grams.select(
-        F.col(id_col), F.explode("_grams").alias("g")
+            bits_log2 = (
+                bloom_bits_log2
+                if bloom_bits_log2 is not None
+                else _bloom_bits_log2_for(len(hashes))
+            )
+            sc = docs.sparkSession.sparkContext
+            bench_bc = sc.broadcast(np.sort(hashes))
+            bits_bc = sc.broadcast(_bloom_bits(hashes, bits_log2, bloom_k))
+            counter = hit_count_udf(bench_bc, n, bits_bc, bits_log2, bloom_k)
+            return corpus.select(
+                F.col(id_col),
+                counter(token_hashes_col(text_col)).alias("n_hit_grams"),
+            ).where(F.col("n_hit_grams") > 0)
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode(gram_sets_udf(n)(token_hashes_col(text_col))).alias("g"),
     )
     return (
         exploded.join(F.broadcast(bench), "g")
