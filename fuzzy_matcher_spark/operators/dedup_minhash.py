@@ -144,6 +144,19 @@ from fuzzy_matcher_spark.operators.cachereg import (  # noqa: E402
 _STATS_SANITY_CEILING = 1 << 55  # 32 PiB
 
 
+# scan bytes per fan-out task when the input is KNOWN-small. The
+# repartition below only ever fires far below cluster scale, so its
+# width must follow the DATA, not the core count: at a 0.6 MB sf0.1
+# scan the old flat 3x-cores fan-out ran 96 tasks of ~6 KB each, and
+# this sandbox charges ~200 ms/task of fixed cost (python-worker hop +
+# shuffle write) — ~20 core-seconds per UDF stage for ~0.3 core-s of
+# kernel work (r6 event-log capture). 128 KiB of compressed scan input
+# per task keeps the python kernel per task (~1k docs, ~0.15 core-s)
+# comparable to the fixed cost, and reproduces the old 3x-cores target
+# at the 300k-doc scale where that target was measured optimal.
+_FANOUT_TASK_INPUT_BYTES = 128 << 10
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition only when the input is under-partitioned
     (e.g. one small parquet file locally). At cluster scale the scan
@@ -155,13 +168,18 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     the input COULD be under-split: an input of >= target *
     maxPartitionBytes necessarily scans into >= target splits.
 
-    Target is 3x the scheduler parallelism, not 1x: the signature
+    The cap is 3x the scheduler parallelism, not 1x: the signature
     stage downstream mixes JVM shingle work with Arrow/python
     round-trips, and a single wave of cores-many tasks leaves the
     tail straggler-bound (measured at 300k docs / local[32]: 1 wave
     of 32 tasks ran the flagship in 88s, 3 waves of 96 in 54s) —
     same reasoning as the 2-3x cores shuffle-partition guidance for
-    cluster submits."""
+    cluster submits. Below that cap the fan-out is sized by the
+    input-plan estimate (one task per _FANOUT_TASK_INPUT_BYTES), so a
+    tiny corpus no longer schedules cores-many near-empty tasks whose
+    fixed cost dwarfs their work; inputs with UNKNOWN stats
+    (RDD-backed relations report defaultSizeInBytes) keep the
+    conservative full-width fan-out."""
     target = 3 * df.sparkSession.sparkContext.defaultParallelism
     est = plan_size_bytes(df)
     # the estimate implies split count only for file scans; RDD-backed
@@ -169,6 +187,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # otherwise always skip the repartition they actually need
     if target * _PARTITION_BYTES <= est < _STATS_SANITY_CEILING:
         return df
+    if est < _STATS_SANITY_CEILING:
+        target = min(target, max(1, int(est // _FANOUT_TASK_INPUT_BYTES)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
