@@ -173,7 +173,16 @@ def connected_components(
                     T.StructField("component", edges.schema["v"].dataType),
                 ]
             )
-            out = pairs.sparkSession.createDataFrame(comp, schema)
+            # slice count follows the assignment size, not the core
+            # count: the default parallelize() width schedules
+            # cores-many near-empty tasks for what is usually a few
+            # hundred rows (~64k rows/slice keeps even the 2M-row
+            # worst case at the edge cap to ~32 slices)
+            n_slices = max(1, min(32, len(comp) // 65536 + 1))
+            out = pairs.sparkSession.createDataFrame(
+                pairs.sparkSession.sparkContext.parallelize(comp, n_slices),
+                schema,
+            )
             # the assignment is known-small here (bounded by 2x the
             # edge cap); the hint lets every downstream join (roster
             # left-join, canonical election) skip its shuffle —

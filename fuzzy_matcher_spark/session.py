@@ -84,6 +84,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (and in particular COALESCE) the plans
+        # that fill persisted relations: the dedup operators persist
+        # several small intermediates (tagged band index, candidate
+        # pairs), and with this off each cache materializes at the
+        # full static shuffle width, so every downstream consumer
+        # stage inherits cores-many near-empty partitions (r6
+        # event-log capture: five 96-task stages per flagship run
+        # whose tasks carry ~6 KB each). Nothing here relies on cache
+        # output partitioning lining up with a later join.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
