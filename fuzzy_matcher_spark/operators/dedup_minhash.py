@@ -337,6 +337,7 @@ def verify_pairs(
     est_margin: float = 0.1,  # kept for API compat; see docstring
     shingle_df: DataFrame | None = None,
     shingle_builder=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs passing the threshold.
 
@@ -371,14 +372,19 @@ def verify_pairs(
     only matters for exact=False, where results now carry the full
     estimate (no margin cut) exactly as before.
 
-    ``pairs`` is persisted + materialized here: it is consumed twice
-    (explode + downstream reuse by callers), an unpersisted candidate
+    ``pairs`` is persisted here: it is consumed twice (explode +
+    downstream reuse by callers), and an unpersisted candidate
     subtree re-runs the whole band pipeline once per consumer
-    (measured ~10s of the 35s 300k flagship), and the count gives AQE
-    exact stats for the broadcast decision.
+    (measured ~10s of the 35s 300k flagship). With ``materialize``
+    (default) it is also counted eagerly so AQE sees exact stats for
+    the broadcast decision; callers with provably-small inputs pass
+    False and save the barrier — AQE still fixes the join strategy at
+    runtime from actual shuffle sizes, and a mis-broadcast below the
+    _EAGER_STATS_MIN_BYTES scale is tens of MiB at worst.
     """
     pairs = _register_cache(pairs.persist())
-    pairs.count()
+    if materialize:
+        pairs.count()
     # the value relation: signatures for the estimate path, shingle
     # sets for the exact path. shingle_df lets minhash_dedup keep its
     # persisted relation NARROW (no wide shingle column in the cache)
@@ -498,6 +504,13 @@ def minhash_dedup(
         full.count()
     sig_df = full.where(F.col("n_units") > 0)
     pairs = candidate_pairs(sig_df, cfg, id_col)
+    # below the eager_stats scale the candidate-pruned shingle rebuild
+    # (cand_ids distinct + semi-join before the gram pass) costs more
+    # scheduler jobs than the full-corpus recompute it avoids — a
+    # small corpus feeds the sets lazily from one unpruned pass
+    # instead, and skips the pairs-count AQE barrier for the same
+    # reason (verify_pairs docstring). Results are identical; only
+    # which ids get their gram sets rebuilt changes.
     verified = verify_pairs(
         pairs,
         sig_df,
@@ -513,8 +526,12 @@ def minhash_dedup(
                 parallelize=False,
             )
         )
-        if exact_verify
+        if (exact_verify and eager_stats)
         else None,
+        shingle_df=_shingle_sets(df, cfg, text_col, id_col)
+        if (exact_verify and not eager_stats)
+        else None,
+        materialize=eager_stats,
     )
     edge_df = verified.select("a", "b")
     if include_exact:
