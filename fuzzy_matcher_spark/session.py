@@ -93,10 +93,31 @@ def get_spark(
         # event-log capture: five 96-task stages per flagship run
         # whose tasks carry ~6 KB each). Nothing here relies on cache
         # output partitioning lining up with a later join.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHE_AQE", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_MB", "8") + "m",
+        )
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size gates how well the JVM producer and the
+        # python worker overlap: a task that holds only 1-2 batches
+        # serializes the two sides (JVM idles while python crunches
+        # the one giant batch and vice versa — measured r6 at 300k
+        # docs/local[8]: 12.5k-doc tasks with 10k-row batches ran the
+        # signature stage at ~55% core utilization; 2k-row batches cut
+        # the flagship 51s -> 31s). 2000 rows x ~400 tokens x 8 B is
+        # ~6 MB of token-hash payload per batch — big enough that
+        # per-batch dispatch (~ms) stays noise, small enough that
+        # every task pipelines several batches.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
