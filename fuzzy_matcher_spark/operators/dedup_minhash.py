@@ -168,19 +168,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     the input COULD be under-split: an input of >= target *
     maxPartitionBytes necessarily scans into >= target splits.
 
-    The cap is 3x the scheduler parallelism, not 1x: the signature
-    stage downstream mixes JVM shingle work with Arrow/python
-    round-trips, and a single wave of cores-many tasks leaves the
-    tail straggler-bound (measured at 300k docs / local[32]: 1 wave
-    of 32 tasks ran the flagship in 88s, 3 waves of 96 in 54s) —
-    same reasoning as the 2-3x cores shuffle-partition guidance for
-    cluster submits. Below that cap the fan-out is sized by the
-    input-plan estimate (one task per _FANOUT_TASK_INPUT_BYTES), so a
-    tiny corpus no longer schedules cores-many near-empty tasks whose
-    fixed cost dwarfs their work; inputs with UNKNOWN stats
-    (RDD-backed relations report defaultSizeInBytes) keep the
-    conservative full-width fan-out."""
-    target = 3 * df.sparkSession.sparkContext.defaultParallelism
+    The repartition fires only when the input cannot FILL the cores
+    (fewer partitions than scheduler parallelism). Earlier rounds
+    repartitioned up to 3x cores to smooth wave tails, justified by a
+    300k-doc measurement (1 wave 88s vs 3 waves 54s) — that
+    measurement predates the r6 Arrow-batch pipelining fix, and with
+    pipelined batches the extra waves no longer pay for the full
+    raw-text shuffle they cost (re-measured r6 at 300k/local[32]:
+    no-repartition 15.7-18.7s vs repartition-to-96 19.5-22.3s; at
+    600k/local[8]: 42.0 vs 45.6s). When it does fire, the fan-out
+    WIDTH is sized by the input-plan estimate (one task per
+    _FANOUT_TASK_INPUT_BYTES, capped at 3x cores), so a tiny corpus
+    no longer schedules cores-many near-empty tasks whose fixed cost
+    dwarfs their work; inputs with UNKNOWN stats (RDD-backed
+    relations report defaultSizeInBytes) keep the conservative
+    full-width fan-out."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = 3 * parallelism
     est = plan_size_bytes(df)
     # the estimate implies split count only for file scans; RDD-backed
     # inputs report defaultSizeInBytes (Long.MaxValue) and would
@@ -189,7 +193,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         return df
     if est < _STATS_SANITY_CEILING:
         target = min(target, max(1, int(est // _FANOUT_TASK_INPUT_BYTES)))
-    if df.rdd.getNumPartitions() < target:
+    if df.rdd.getNumPartitions() < min(target, parallelism):
         return df.repartition(target)
     return df
 
