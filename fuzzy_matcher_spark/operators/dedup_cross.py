@@ -279,7 +279,14 @@ def _cross_dup_pairs_lazy(
             "signature",
         )
     )
-    verified = verify_pairs(pairs_v, values_v, cfg, id_col=id_col, exact=True)
+    # materialize=False: this branch only runs below
+    # _EAGER_STATS_MIN_BYTES (cross_dup_pairs gates on the input-plan
+    # estimate), so the pairs-count AQE barrier buys nothing — a
+    # mis-broadcast at this scale is tens of MiB at worst, exactly the
+    # minhash_dedup small-input reasoning (its materialize=eager_stats)
+    verified = verify_pairs(
+        pairs_v, values_v, cfg, id_col=id_col, exact=True, materialize=False
+    )
     return verified.select(
         F.shiftright("a", 1).alias("index_id"),
         F.shiftright("b", 1).alias("probe_id"),
