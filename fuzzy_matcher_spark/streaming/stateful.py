@@ -31,7 +31,6 @@ applyInPandasWithState contract), and the function body is O(batch).
 
 from __future__ import annotations
 
-import time
 from typing import Iterator
 
 import pandas as pd
@@ -44,7 +43,9 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("canonical_id", T.LongType()),
         T.StructField("n_seen", T.LongType()),
-        # last-arrival wall clock (ms). TTL is enforced LAZILY against
+        # last-arrival trigger processing-time stamp (ms epoch,
+        # state.getCurrentProcessingTimeMs — replay-stable, unlike the
+        # wall clock). TTL is enforced LAZILY against
         # this stamp when the key next arrives — ProcessingTimeTimeout
         # alone is only a state-store GC: Spark does not raise
         # hasTimedOut for a key that receives data in the same trigger
@@ -78,7 +79,13 @@ def _seen_func(ttl_ms: int):
             # expiry contract.
             state.remove()
             return
-        now_ms = int(time.time() * 1000)
+        # the TRIGGER's processing-time stamp, not the wall clock:
+        # constant across the whole micro-batch and — critically —
+        # across re-executions of the same trigger (it is checkpointed
+        # with the batch), so a replayed batch reaches the identical
+        # lazy-TTL verdict. time.time() here made a key near the TTL
+        # boundary flip between duplicate and first-seen on retry.
+        now_ms = state.getCurrentProcessingTimeMs()
         if state.exists:
             canonical, n_seen, last_ms = state.get
             if ttl_ms > 0 and now_ms - last_ms > ttl_ms:

@@ -93,6 +93,79 @@ def test_seen_filter_ttl_expires_state(spark, tmp_path):
     assert r5.canonical_id == 5
 
 
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing _seen_func: the
+    trigger's processing-time stamp is injectable, so a re-executed
+    trigger (same stamp, later wall clock) is directly simulable —
+    the real engine guarantees getCurrentProcessingTimeMs is constant
+    across re-executions of one trigger."""
+
+    def __init__(self, proc_time_ms, value=None):
+        self._proc = proc_time_ms
+        self._value = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def getCurrentProcessingTimeMs(self):
+        return self._proc
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _verdicts(func, state):
+    import pandas as pd
+
+    batch = pd.DataFrame({"doc_id": [5]})
+    out = list(func((3654009985618552993,), iter([batch]), state))
+    return [
+        (r.doc_id, r.is_duplicate, r.canonical_id, r.n_seen_before)
+        for r in pd.concat(out).itertuples()
+    ]
+
+
+def test_seen_func_ttl_verdict_replay_deterministic():
+    """A re-executed trigger reaches the IDENTICAL lazy-TTL verdict.
+
+    The verdict must depend only on the trigger's checkpointed
+    processing-time stamp (state.getCurrentProcessingTimeMs), never
+    the executor wall clock: with a wall-clock read, a key near the
+    TTL boundary flipped between duplicate and first-seen when the
+    batch was replayed after a delay. Simulated here exactly: same
+    prior state, same trigger stamp, second execution 300 ms of real
+    time later — with ttl_ms=50 a wall-clock implementation flips,
+    the stamp-based one must not."""
+    from fuzzy_matcher_spark.streaming.stateful import _seen_func
+
+    func = _seen_func(ttl_ms=50)
+    t0 = 1_000_000_000_000  # trigger stamp (ms epoch)
+    prior = (0, 2, t0 - 40)  # canonical=0, n_seen=2, last arrival 40ms ago
+
+    first = _verdicts(func, _FakeGroupState(t0, prior))
+    time.sleep(0.3)  # wall clock moves well past ttl_ms
+    replay = _verdicts(func, _FakeGroupState(t0, prior))
+
+    assert first == replay == [(5, True, 0, 2)]  # still a duplicate
+
+    # and the lazy-TTL expiry itself keys off the SAME stamp: a prior
+    # arrival older than ttl at trigger time reads first-seen
+    expired = _verdicts(func, _FakeGroupState(t0, (0, 2, t0 - 60)))
+    assert expired == [(5, False, 5, 0)]
+
+
 def test_seen_filter_no_ttl_state_survives_restart(spark, tmp_path):
     """ttl_ms=0: state never expires; a restart from checkpoint still
     flags a long-delayed duplicate."""
