@@ -491,8 +491,13 @@ def q_matcher_golden_roster(spark, sf):
     strcmp95-LT matcher path (example_member_config: JW firstname 0.2
     / JW surname 0.4 / exact birthdate 0.4, trie budgets, top-5).
     Returns integer-stable columns plus the score rounded to 4
-    decimals; the DuckDB oracle is the literal expected VALUES —
-    i.e. a hash match IS reference parity, recorded in CORRECTNESS."""
+    decimals; the DuckDB oracle is the literal expected VALUES. Two
+    claims, separately: MEMBERSHIP and RANKS are reference parity
+    (the fixtures specify who must match and in what order, including
+    nickname hits and the Bob->Robert rejection); the 4-decimal SCORE
+    literals are a self-regression pin (the reference fixtures
+    specify score BANDS, not exact values — exact values necessarily
+    come from this engine's own scoring and pin it against drift)."""
     from fuzzy_matcher_spark.config import example_member_config
     from fuzzy_matcher_spark.operators.matcher import search
     from fuzzy_matcher_spark.sources.members import (
